@@ -47,11 +47,12 @@ def make_centroidal_info(model: RobotModel, q_nominal=None) -> CentroidalInfo:
         q_nominal = default_q(base_pos=(0, 0, 0), base_zyx=(0, 0, 0))
     q = jnp.asarray(q_nominal, dtype=jnp.float64
                     if jax.config.jax_enable_x64 else jnp.float32)
-    com = np.asarray(D.com_position(model, q))
-    # composite inertia about the COM, base frame == world at nominal:
-    # the CMM's base-angular block is I * E(zyx) (E maps Euler rates to
-    # world angular velocity), so unpermute by E^-1.
-    A = np.asarray(D.centroidal_momentum_matrix(model, q))
+    # jit the one-time construction: eager op-by-op dispatch of the FK/CMM
+    # graphs is orders of magnitude slower than one compiled call
+    com_A = jax.jit(lambda qq: (D.com_position(model, qq),
+                                D.centroidal_momentum_matrix(model, qq)))
+    com_j, A_j = com_A(q)
+    com, A = np.asarray(com_j), np.asarray(A_j)
     E0 = np.asarray(euler_zyx_rate_to_omega_world_matrix(q[3:6]))
     I_com = A[3:, 3:6] @ np.linalg.inv(E0)
     assert np.allclose(I_com, I_com.T, atol=1e-4), I_com

@@ -1,0 +1,91 @@
+"""Hierarchical (lexicographic) null-space QP cascade.
+
+Replicates the reference's HoQp (qm_wbc/src/HoQp.cpp:12-158) with static
+shapes:
+
+  level p:  min_z,v  0.5|A_p(x + Z z) - b_p|^2 + 0.5|v|^2
+            s.t.     D_p(x + Z z) <= f_p + v,   v >= 0,
+                     D_q(x + Z z) <= f_q + v_q*   for all q < p
+
+  then x <- x + Z z*,  Z <- Z P  with P the (damped) projector onto
+  ker(A_p Z).
+
+Differences from the reference, driven by jit/vmap (SURVEY.md §7 hard
+part #1): the null-space basis is a square projector-composed matrix
+(rank encoded numerically) instead of a shape-changing kernel basis from
+a full-pivot LU (HoQp.cpp:126-133), and each level is solved by the
+fixed-iteration interior-point solver in qp.py instead of qpOASES.
+"""
+from typing import List, Sequence
+
+import jax.numpy as jnp
+
+from .qp import solve_qp
+from .tasks import NUM_DECISION_VARS, Task
+
+_EPS_H = 1e-6       # ridge on the level Hessian (HoQp.cpp:70 uses 1e-12)
+_EPS_NULL = 1e-7    # damping of the null-space projector
+
+
+def _kernel_projector(Az):
+    """P ~ I - Az^+ Az with damped pseudo-inverse (static shapes; masked
+    zero rows simply do not reduce the kernel)."""
+    m, n = Az.shape
+    gram = Az @ Az.T
+    lam = _EPS_NULL * (jnp.trace(gram) / m + 1.0)
+    inv = jnp.linalg.solve(gram + lam * jnp.eye(m, dtype=Az.dtype), Az)
+    return jnp.eye(n, dtype=Az.dtype) - Az.T @ inv
+
+
+def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 25):
+    """Solve the lexicographic cascade; tasks ordered highest priority
+    first. Returns the optimal decision vector x (36,)."""
+    nx = NUM_DECISION_VARS
+    dtype = tasks[0].A.dtype
+    x = jnp.zeros(nx, dtype=dtype)
+    Z = jnp.eye(nx, dtype=dtype)
+    prev: List = []    # [(D, f, v_opt)] accumulated inequality levels
+
+    for task in tasks:
+        ma, nv = task.A.shape[0], task.D.shape[0]
+        Az = task.A @ Z                                   # (ma, nx)
+        H_z = Az.T @ Az + _EPS_H * jnp.eye(nx, dtype=dtype)
+        c_z = Az.T @ (task.A @ x - task.b)
+
+        G_rows, h_rows = [], []
+        if nv > 0:
+            # -v <= 0
+            G_rows.append(jnp.concatenate(
+                [jnp.zeros((nv, nx), dtype=dtype),
+                 -jnp.eye(nv, dtype=dtype)], axis=1))
+            h_rows.append(jnp.zeros(nv, dtype=dtype))
+        for (Dq, fq, vq) in prev:
+            G_rows.append(jnp.concatenate(
+                [Dq @ Z, jnp.zeros((Dq.shape[0], nv), dtype=dtype)], axis=1))
+            h_rows.append(fq - Dq @ x + vq)
+        if nv > 0:
+            G_rows.append(jnp.concatenate(
+                [task.D @ Z, -jnp.eye(nv, dtype=dtype)], axis=1))
+            h_rows.append(task.f - task.D @ x)
+
+        H = jnp.zeros((nx + nv, nx + nv), dtype=dtype)
+        H = H.at[:nx, :nx].set(H_z)
+        if nv > 0:
+            H = H.at[nx:, nx:].set(jnp.eye(nv, dtype=dtype))
+        c = jnp.concatenate([c_z, jnp.zeros(nv, dtype=dtype)])
+
+        if G_rows:
+            G = jnp.concatenate(G_rows, axis=0)
+            h = jnp.concatenate(h_rows)
+            sol = solve_qp(H, c, G, h, num_iters=qp_iters)
+            zv = sol.x
+        else:
+            zv = jnp.linalg.solve(H, -c)
+        z, v = zv[:nx], zv[nx:]
+
+        x = x + Z @ z
+        if nv > 0:
+            prev.append((task.D, task.f, v))
+        if ma > 0:
+            Z = Z @ _kernel_projector(Az)
+    return x

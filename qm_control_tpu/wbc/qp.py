@@ -1,0 +1,116 @@
+"""Dense inequality-constrained QP via fixed-iteration Mehrotra
+predictor-corrector interior point — the TPU-native replacement for qpOASES.
+
+The reference solves each hierarchical-WBC level with qpOASES' dense
+active-set method, nWSR=100 (qm_wbc/src/HoQp.cpp:135-150). Active-set
+pivoting is data-dependent control flow — hostile to jit/vmap (SURVEY.md
+§7 hard part #1) — so we run a FIXED number of interior-point iterations:
+every scenario in a batch executes the same instruction stream.
+
+    minimize    0.5 x'Hx + c'x
+    subject to  G x <= h
+
+Robustness devices (all branch-free, validated on random SPD QPs in
+tests/test_qp.py):
+  - Mehrotra predictor-corrector with separate primal/dual step lengths;
+  - a convergence GATE: once (mu, primal residual) are below tolerance the
+    step length is multiplied by 0 — iterations past convergence become
+    no-ops instead of destabilizing (fixed-count loops otherwise re-excite
+    the iterate through the s->0 floors);
+  - best-iterate tracking by KKT merit: the returned solution is the best
+    seen, not the last.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QpSolution(NamedTuple):
+    x: jnp.ndarray          # (n,) primal solution
+    lam: jnp.ndarray        # (m,) inequality multipliers
+    s: jnp.ndarray          # (m,) slacks  (G x + s = h)
+    gap: jnp.ndarray        # scalar final duality measure
+
+
+def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
+             gate_tol: float = 1e-6) -> QpSolution:
+    """Solve the inequality QP with `num_iters` fixed IP iterations.
+
+    All shapes static: H (n,n), c (n,), G (m,n), h (m,). Rows of G that
+    are identically zero (masked-out constraints) are harmless provided
+    their bound h_i is positive (maskers push it to +BIG).
+    """
+    n = c.shape[0]
+    m = h.shape[0]
+    dtype = c.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    x0 = jnp.linalg.solve(H + 1e-8 * eye_n, -c)
+    s0 = jnp.maximum(h - G @ x0, 1.0)
+    lam0 = jnp.ones(m, dtype=dtype)
+    scale = jnp.maximum(1.0, jnp.linalg.norm(c))
+
+    def merit(x, s, lam):
+        r_d = H @ x + c + G.T @ lam
+        viol = jnp.maximum(G @ x - h, 0.0)
+        return (jnp.sum(r_d * r_d) + 100.0 * jnp.sum(viol * viol)
+                + jnp.sum(jnp.abs(s * lam)))
+
+    big = jnp.asarray(1e30, dtype=dtype)
+
+    def maxstep(v, dv):
+        """max alpha in [0,1] with v + alpha dv >= 0 (v > 0)."""
+        return jnp.minimum(1.0, jnp.min(jnp.where(dv < 0, -v / dv, big)))
+
+    def body(carry, _):
+        x, s, lam, bx, bs, blam, bm = carry
+        s = jnp.maximum(s, 1e-9)
+        lam = jnp.maximum(lam, 1e-12)
+        r_d = H @ x + c + G.T @ lam
+        r_p = G @ x + s - h
+        mu = jnp.dot(s, lam) / m
+        gate = jnp.where((mu < gate_tol * scale)
+                         & (jnp.max(jnp.abs(r_p)) < gate_tol * scale),
+                         0.0, 1.0).astype(dtype)
+        d = jnp.clip(lam / s, 1e-12, 1e8)
+        M = H + G.T @ (d[:, None] * G)
+        cho = jax.scipy.linalg.cho_factor(M)
+        solveM = lambda rhs: jax.scipy.linalg.cho_solve(cho, rhs)
+        # predictor (affine direction)
+        rc_aff = (-s * lam + lam * r_p) / s
+        dx_a = solveM(-(r_d + G.T @ rc_aff))
+        ds_a = -r_p - G @ dx_a
+        dl_a = (-s * lam - lam * ds_a) / s
+        ap_a = maxstep(s, ds_a)
+        ad_a = maxstep(lam, dl_a)
+        mu_aff = jnp.dot(s + ap_a * ds_a, lam + ad_a * dl_a) / m
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-12)) ** 3, 1e-4, 1.0)
+        # corrector
+        rc = (sigma * mu - s * lam - ds_a * dl_a + lam * r_p) / s
+        dx = solveM(-(r_d + G.T @ rc))
+        ds = -r_p - G @ dx
+        dlam = (sigma * mu - s * lam - ds_a * dl_a - lam * ds) / s
+        ap = gate * tau * maxstep(s, ds)
+        ad = gate * tau * maxstep(lam, dlam)
+        x = x + ap * dx
+        s = s + ap * ds
+        lam = lam + ad * dlam
+        mm = merit(x, s, lam)
+        take = mm < bm
+        bx = jnp.where(take, x, bx)
+        bs = jnp.where(take, s, bs)
+        blam = jnp.where(take, lam, blam)
+        bm = jnp.minimum(mm, bm)
+        return (x, s, lam, bx, bs, blam, bm), None
+
+    init = (x0, s0, lam0, x0, s0, lam0, merit(x0, s0, lam0))
+    (x, s, lam, bx, bs, blam, _), _ = jax.lax.scan(body, init, None,
+                                                   length=num_iters)
+    return QpSolution(x=bx, lam=blam, s=bs, gap=jnp.dot(bs, blam) / m)
+
+
+def solve_eq_qp(H, c):
+    """Equality/unconstrained helper: x = -H^{-1} c (H PSD + ridge)."""
+    n = c.shape[0]
+    return jnp.linalg.solve(H + 1e-8 * jnp.eye(n, dtype=c.dtype), -c)

@@ -1,0 +1,334 @@
+"""WBC task formulations as pure functions with static shapes.
+
+Replicates the reference's WbcBase (qm_wbc/src/WbcBase.cpp:25-595): the
+measured/desired precomputation and the 14 `formulate*Task` methods, with
+two TPU-native changes:
+
+  - contact-dependent tasks keep FIXED row counts; inactive rows are
+    multiplicatively masked to 0 (equalities read 0 = 0; inequalities get
+    their bound pushed to +BIG so they are never tight) — no shape changes
+    across gait modes;
+  - all rigid-body quantities come from the pure-JAX model layer (the
+    generalized coordinates are identical to the reference's Pinocchio
+    parameterization: base pos, ZYX Euler, joints with plain-rate
+    velocities — see WbcBase::updateMeasured :137-143).
+
+Decision vector x in R^36 = [v_dot(24); F(12)] (torques recovered
+afterwards; reference WbcBase.cpp:36, :548-563).
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WbcGains
+from ..models import centroidal as C
+from ..models import dynamics as D
+from ..models import kinematics as K
+from ..models.rotations import (euler_zyx_rate_to_omega_world_matrix,
+                                euler_zyx_to_R, rotation_error_world)
+from ..models.spec import EE_FRAME, NQ, RobotModel
+
+NUM_DECISION_VARS = 36
+MASK_BIG = 1e6
+
+
+class Task(NamedTuple):
+    """Stacked task matrices: A x = b (equality), D x <= f (inequality).
+
+    Reference equivalent: qm_wbc/include/qm_wbc/Task.h:17-66. Fixed row
+    counts; empty blocks are (0, 36) arrays.
+    """
+    A: jnp.ndarray
+    b: jnp.ndarray
+    D: jnp.ndarray
+    f: jnp.ndarray
+
+    def __add__(self, other: "Task") -> "Task":
+        return Task(jnp.concatenate([self.A, other.A], axis=0),
+                    jnp.concatenate([self.b, other.b], axis=0),
+                    jnp.concatenate([self.D, other.D], axis=0),
+                    jnp.concatenate([self.f, other.f], axis=0))
+
+    def scaled(self, w) -> "Task":
+        return Task(self.A * w, self.b * w, self.D, self.f)
+
+
+def empty_task(dtype=jnp.float32) -> Task:
+    z = jnp.zeros((0, NUM_DECISION_VARS), dtype=dtype)
+    v = jnp.zeros((0,), dtype=dtype)
+    return Task(z, v, z, v)
+
+
+def eq_task(A, b) -> Task:
+    z = jnp.zeros((0, NUM_DECISION_VARS), dtype=A.dtype)
+    return Task(A, b, z, jnp.zeros((0,), dtype=A.dtype))
+
+
+def ineq_task(D, f) -> Task:
+    z = jnp.zeros((0, NUM_DECISION_VARS), dtype=D.dtype)
+    return Task(z, jnp.zeros((0,), dtype=D.dtype), D, f)
+
+
+class WbcData(NamedTuple):
+    """Measured-side precomputation (reference WbcBase::updateMeasured)."""
+    q: jnp.ndarray          # (24,)
+    v: jnp.ndarray          # (24,)
+    M: jnp.ndarray          # (24,24) mass matrix
+    h: jnp.ndarray          # (24,)  nonlinear effects
+    Jc: jnp.ndarray         # (12,24) stacked contact Jacobian
+    dJc_v: jnp.ndarray      # (12,)  dJc/dt * v
+    base_J: jnp.ndarray     # (6,24)
+    base_dJ_v: jnp.ndarray  # (6,)
+    ee_J: jnp.ndarray       # (6,24) arm EE Jacobian
+    ee_dJ_v: jnp.ndarray    # (6,)  (base-euler columns NOT zeroed; see task)
+    ee_dJ_v_noeuler: jnp.ndarray  # (3,) angular rows with euler cols zeroed
+    feet_pos: jnp.ndarray   # (4,3)
+    feet_vel: jnp.ndarray   # (4,3)
+    ee_pos: jnp.ndarray     # (3,)
+    ee_R: jnp.ndarray       # (3,3)
+    ee_vel: jnp.ndarray     # (6,)
+    contact_flags: jnp.ndarray  # (4,) float 0/1
+
+
+class WbcDesired(NamedTuple):
+    """Desired-side precomputation (reference WbcBase::updateDesired)."""
+    q: jnp.ndarray             # (24,)
+    v: jnp.ndarray             # (24,)
+    base_acc: jnp.ndarray      # (6,) desired base acceleration (qdd coords)
+    feet_pos: jnp.ndarray      # (4,3)
+    feet_vel: jnp.ndarray      # (4,3)
+    ee_pos: jnp.ndarray        # (3,)
+    ee_R: jnp.ndarray          # (3,3)
+    ee_vel: jnp.ndarray        # (6,)
+
+
+def compute_measured(model: RobotModel, q, v, contact_flags) -> WbcData:
+    """All measured-side RBD quantities in one pass
+    (reference WbcBase.cpp:134-191)."""
+    cache = K.fk(model, q)
+    M = D.mass_matrix(model, q)
+    h = D.nonlinear_effects(model, q, v)
+    Jc = K.stacked_contact_jacobian(model, q)
+    dJc = K.stacked_contact_jacobian_dot(model, q, v)
+    base_frame = lambda qq: _frame_J(model, qq, "base")
+    base_J = _frame_J(model, q, "base")
+    _, base_dJ = jax.jvp(base_frame, (q,), (v,))
+    ee_J = _frame_J(model, q, EE_FRAME)
+    _, ee_dJ = jax.jvp(lambda qq: _frame_J(model, qq, EE_FRAME), (q,), (v,))
+    ee_dJ_noeuler = ee_dJ.at[3:, 3:6].set(0.0)
+    feet_pos = jnp.stack([K.frame_pose(model, cache, f)[0]
+                          for f in ("LF_FOOT", "RF_FOOT", "LH_FOOT",
+                                    "RH_FOOT")])
+    feet_vel = (Jc @ v).reshape(4, 3)
+    ee_pos, ee_R = K.frame_pose(model, cache, EE_FRAME)
+    return WbcData(q=q, v=v, M=M, h=h, Jc=Jc, dJc_v=dJc @ v,
+                   base_J=base_J, base_dJ_v=base_dJ @ v,
+                   ee_J=ee_J, ee_dJ_v=ee_dJ @ v,
+                   ee_dJ_v_noeuler=(ee_dJ_noeuler @ v)[3:],
+                   feet_pos=feet_pos, feet_vel=feet_vel,
+                   ee_pos=ee_pos, ee_R=ee_R, ee_vel=ee_J @ v,
+                   contact_flags=jnp.asarray(contact_flags, dtype=q.dtype))
+
+
+def _frame_J(model, q, name):
+    return K.frame_jacobian(model, q, name)
+
+
+def compute_desired(model: RobotModel, info: C.CentroidalInfo,
+                    state_des, input_des, input_last, period) -> WbcDesired:
+    """Desired-side kinematics + base acceleration (reference
+    WbcBase::updateDesired :193-226): desired base acceleration from the
+    centroidal momentum matrix algebra Ab^-1 (m hdot_des - Adot v - Aj qdd_j)
+    with joint accelerations finite-differenced from consecutive MPC inputs."""
+    q_des = C.state_to_q(state_des)
+    v_base = C.base_velocity_from_momentum(info, state_des)
+    v_j = input_des[12:]
+    v_des = jnp.concatenate([v_base, v_j])
+    cache = K.fk(model, q_des)
+
+    joint_acc = (input_des[12:] - input_last[12:]) / period
+    A = D.centroidal_momentum_matrix(model, q_des)          # (6,24)
+    Ab, Aj = A[:, :6], A[:, 6:]
+    Adot = D.centroidal_momentum_matrix_dot(model, q_des, v_des)
+    # normalized momentum rate from the centroidal flow map (forces+gravity)
+    hdot = C.flow_map(model, info, state_des, input_des)[:6] * info.mass
+    rate = hdot - Adot @ v_des - Aj @ joint_acc
+    base_acc = jnp.linalg.solve(Ab, rate)
+
+    Jc = K.stacked_contact_jacobian(model, q_des)
+    feet_pos = jnp.stack([K.frame_pose(model, cache, f)[0]
+                          for f in ("LF_FOOT", "RF_FOOT", "LH_FOOT",
+                                    "RH_FOOT")])
+    feet_vel = (Jc @ v_des).reshape(4, 3)
+    ee_pos, ee_R = K.frame_pose(model, cache, EE_FRAME)
+    ee_J = _frame_J(model, q_des, EE_FRAME)
+    return WbcDesired(q=q_des, v=v_des, base_acc=base_acc,
+                      feet_pos=feet_pos, feet_vel=feet_vel,
+                      ee_pos=ee_pos, ee_R=ee_R, ee_vel=ee_J @ v_des)
+
+
+# ---------------------------------------------------------------------------
+# task formulations (reference WbcBase.cpp:228-546). x = [v_dot(24); F(12)]
+# ---------------------------------------------------------------------------
+
+def _with_force_cols(A_vdot, A_force):
+    return jnp.concatenate([A_vdot, A_force], axis=1)
+
+
+def floating_base_eom_task(m: WbcData) -> Task:
+    """[Mb, -Jb'] x = -hb (reference :338-356)."""
+    A = _with_force_cols(m.M[:6], -m.Jc.T[:6])
+    return eq_task(A, -m.h[:6])
+
+
+def torque_limits_task(m: WbcData, tau_max) -> Task:
+    """+-[Mj, -Jj'] x <= tau_max -+ hj (reference :360-383)."""
+    Aj = _with_force_cols(m.M[6:], -m.Jc.T[6:])
+    D_ = jnp.concatenate([Aj, -Aj], axis=0)
+    tau = jnp.asarray(tau_max, dtype=m.q.dtype)
+    f = jnp.concatenate([tau - m.h[6:], tau + m.h[6:]])
+    return ineq_task(D_, f)
+
+
+def no_contact_motion_task(m: WbcData) -> Task:
+    """Jc x = -dJc v for stance feet (reference :386-401); swing rows
+    masked to 0 = 0."""
+    mask = jnp.repeat(m.contact_flags, 3)
+    A = _with_force_cols(m.Jc, jnp.zeros((12, 12), dtype=m.q.dtype))
+    return eq_task(A * mask[:, None], -m.dJc_v * mask)
+
+
+_PYRAMID = np.array([[0.0, 0.0, -1.0],
+                     [1.0, 0.0, 0.0],
+                     [-1.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0],
+                     [0.0, -1.0, 0.0]])
+
+
+def friction_cone_task(m: WbcData, friction_coeff) -> Task:
+    """Swing feet: F = 0 (equality). Stance feet: 5-face pyramid
+    D F <= 0 (reference :407-437). Masked rows: equalities -> 0 = 0;
+    inequalities -> 0 <= BIG."""
+    dtype = m.q.dtype
+    c = m.contact_flags
+    swing_mask = jnp.repeat(1.0 - c, 3)
+    A_force = jnp.eye(12, dtype=dtype) * swing_mask[:, None]
+    A = _with_force_cols(jnp.zeros((12, 24), dtype=dtype), A_force)
+    b = jnp.zeros(12, dtype=dtype)
+
+    pyr = jnp.asarray(_PYRAMID, dtype=dtype)
+    pyr = pyr.at[1:, 2].set(-friction_coeff)
+    blocks = []
+    for i in range(4):
+        Z = jnp.zeros((5, 12), dtype=dtype)
+        blocks.append(Z.at[:, 3 * i:3 * i + 3].set(pyr) * c[i])
+    D_force = jnp.concatenate(blocks, axis=0)                 # (20,12)
+    D_ = _with_force_cols(jnp.zeros((20, 24), dtype=dtype), D_force)
+    f = jnp.repeat(1.0 - c, 5) * MASK_BIG                     # inactive->BIG
+    return Task(A, b, D_, f)
+
+
+def base_height_task(m: WbcData, d: WbcDesired, kp, kd) -> Task:
+    """z acceleration servo (reference :296-308)."""
+    A = jnp.zeros((1, NUM_DECISION_VARS), dtype=m.q.dtype).at[0, 2].set(1.0)
+    b = (d.base_acc[2] + kp * (d.q[2] - m.q[2]) + kd * (d.v[2] - m.v[2]))
+    return eq_task(A, b[None])
+
+
+def base_linear_task(m: WbcData, d: WbcDesired, kp, kd) -> Task:
+    """xy acceleration + position/velocity servo (reference :228-240)."""
+    A = jnp.zeros((2, NUM_DECISION_VARS), dtype=m.q.dtype)
+    A = A.at[0, 0].set(1.0).at[1, 1].set(1.0)
+    b = (d.base_acc[:2] + kp * (d.q[:2] - m.q[:2]) + kd * (d.v[:2] - m.v[:2]))
+    return eq_task(A, b)
+
+
+def base_xy_accel_task(m: WbcData, d: WbcDesired) -> Task:
+    """Feedforward-only xy acceleration (reference :243-255)."""
+    A = jnp.zeros((2, NUM_DECISION_VARS), dtype=m.q.dtype)
+    A = A.at[0, 0].set(1.0).at[1, 1].set(1.0)
+    return eq_task(A, d.base_acc[:2])
+
+
+def base_angular_task(m: WbcData, d: WbcDesired, kp, kd) -> Task:
+    """World-frame angular acceleration servo through the base angular
+    Jacobian (reference :258-293)."""
+    dtype = m.q.dtype
+    A = _with_force_cols(m.base_J[3:], jnp.zeros((3, 12), dtype=dtype))
+    E_meas = euler_zyx_rate_to_omega_world_matrix(m.q[3:6])
+    omega_meas = E_meas @ m.v[3:6]
+    omega_des = E_meas @ d.v[3:6]        # reference uses measured angles
+    R_meas = euler_zyx_to_R(m.q[3:6])
+    R_des = euler_zyx_to_R(d.q[3:6])
+    err = rotation_error_world(R_des, R_meas)
+    # desired angular acceleration: d/dt(E(zyx) zyx_dot) along desired rates
+    _, Edot_v = jax.jvp(
+        lambda z: euler_zyx_rate_to_omega_world_matrix(z) @ d.v[3:6],
+        (m.q[3:6],), (d.v[3:6],))
+    acc_des = E_meas @ d.base_acc[3:6] + Edot_v
+    b = acc_des + kp * err + kd * (omega_des - omega_meas) - m.base_dJ_v[3:]
+    return eq_task(A, b)
+
+
+def swing_leg_task(m: WbcData, d: WbcDesired, kp, kd) -> Task:
+    """Cartesian PD on swing feet (reference :311-334); stance rows
+    masked."""
+    dtype = m.q.dtype
+    mask = jnp.repeat(1.0 - m.contact_flags, 3)
+    accel = (kp * (d.feet_pos - m.feet_pos)
+             + kd * (d.feet_vel - m.feet_vel)).reshape(-1)
+    A = _with_force_cols(m.Jc, jnp.zeros((12, 12), dtype=dtype))
+    b = accel - m.dJc_v
+    return eq_task(A * mask[:, None], b * mask)
+
+
+def arm_joint_tracking_task(m: WbcData, d: WbcDesired, kp, kd) -> Task:
+    """Arm joint PD (reference :439-465); used for the first 10 s."""
+    dtype = m.q.dtype
+    A = jnp.zeros((6, NUM_DECISION_VARS), dtype=dtype)
+    A = A.at[:, 18:24].set(jnp.eye(6, dtype=dtype))
+    kp = jnp.asarray(kp, dtype=dtype)
+    kd = jnp.asarray(kd, dtype=dtype)
+    b = kp * (d.q[18:24] - m.q[18:24]) + kd * (d.v[18:24] - m.v[18:24])
+    return eq_task(A, b)
+
+
+def ee_linear_task(m: WbcData, d: WbcDesired, kp, kd) -> Task:
+    """Arm-EE linear Cartesian PD in world frame (reference :467-492)."""
+    dtype = m.q.dtype
+    A = _with_force_cols(m.ee_J[:3], jnp.zeros((3, 12), dtype=dtype))
+    kp = jnp.asarray(kp, dtype=dtype)
+    kd = jnp.asarray(kd, dtype=dtype)
+    acc = kp * (d.ee_pos - m.ee_pos) + kd * (d.ee_vel[:3] - m.ee_vel[:3])
+    b = acc - m.ee_dJ_v[:3]
+    return eq_task(A, b)
+
+
+def ee_angular_task(m: WbcData, d: WbcDesired, kp, kd) -> Task:
+    """Arm-EE angular tracking with world rotation error; base-Euler
+    columns zeroed as in the reference (:494-531; note the reference uses
+    damping only, no desired angular velocity feedforward)."""
+    dtype = m.q.dtype
+    Jang = m.ee_J[3:].at[:, 3:6].set(0.0)
+    A = _with_force_cols(Jang, jnp.zeros((3, 12), dtype=dtype))
+    err = rotation_error_world(d.ee_R, m.ee_R)
+    kp = jnp.asarray(kp, dtype=dtype)
+    kd = jnp.asarray(kd, dtype=dtype)
+    b = kp * err + kd * (-m.ee_vel[3:]) - m.ee_dJ_v_noeuler
+    return eq_task(A, b)
+
+
+def contact_force_task(m: WbcData, input_des) -> Task:
+    """F = F_mpc for all four feet (reference :534-546)."""
+    dtype = m.q.dtype
+    A = _with_force_cols(jnp.zeros((12, 24), dtype=dtype),
+                         jnp.eye(12, dtype=dtype))
+    return eq_task(A, input_des[:12])
+
+
+def recover_torques(m: WbcData, x_opt):
+    """tau = Mj vdot - Jj' F + hj (reference WbcBase::updateCmd :548-563)."""
+    vdot, F = x_opt[:24], x_opt[24:]
+    return m.M[6:] @ vdot - m.Jc.T[6:] @ F + m.h[6:]

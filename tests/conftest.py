@@ -5,7 +5,13 @@ without TPU hardware, per SURVEY.md §4 (multi-host tests without a cluster).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment may preset JAX_PLATFORMS to a real
+# TPU backend (remote-compile tunnels make test compiles pathologically
+# slow); unit tests always run on the virtual CPU mesh. NOTE: jax may
+# already be imported by a sitecustomize hook, so the env var alone is NOT
+# enough — jax.config.update below is the authoritative switch (it works
+# as long as no backend has been initialized yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +22,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.devices()
 
 import pytest  # noqa: E402
 import numpy as np  # noqa: E402
