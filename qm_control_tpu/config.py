@@ -237,6 +237,9 @@ class WbcGains:
     # arm hybrid-joint command gains (qm_controllers/cfg/weight.cfg)
     kp_arm_wbc: float = 0.0
     kd_arm_wbc: float = 0.5
+    # arm-settling staging duration (reference hard-codes 10 s,
+    # HierarchicalWbc.cpp:32; configurable here)
+    arm_settling_time: float = 10.0
 
 
 def _register_gains_pytree():

@@ -23,7 +23,8 @@ from ..models import centroidal as C
 from ..models.spec import RobotModel
 from ..ocp.problem import OcpParams, make_node_data, make_ocp
 from ..ocp.reference import TargetTrajectory
-from ..solver.ilqr import IlqrSettings, ilqr_solve
+from ..solver.ilqr import IlqrSettings
+from ..solver.sqp import SqpSettings, sqp_solve
 
 
 class MpcPolicy(NamedTuple):
@@ -58,14 +59,15 @@ class MpcSolver:
     """
 
     def __init__(self, model: RobotModel, info: C.CentroidalInfo,
-                 cfg: QmConfig, settings: Optional[IlqrSettings] = None):
+                 cfg: QmConfig, settings: Optional[SqpSettings] = None):
         self.model = model
         self.info = info
         self.cfg = cfg
-        self.settings = settings or IlqrSettings(
+        self.settings = settings or SqpSettings(
             num_iterations=cfg.mpc.num_iterations)
         self.N = cfg.mpc.num_nodes
         self._W_prev = None
+        self._X_prev = None
         self._t_prev = None
         # Build OCP closures eagerly (construction-time numpy precompute
         # inside make_stage_cost must not run under a jit trace).
@@ -75,6 +77,7 @@ class MpcSolver:
 
     def reset(self):
         self._W_prev = None
+        self._X_prev = None
         self._t_prev = None
 
     def solve(self, t, x, target: TargetTrajectory,
@@ -82,22 +85,25 @@ class MpcSolver:
         cold = self._W_prev is None or self.cfg.mpc.cold_start
         if cold:
             W_warm = jnp.zeros((self.N, 30), dtype=jnp.float32)
+            X_warm = jnp.zeros((self.N + 1, 30), dtype=jnp.float32)
             shift = jnp.asarray(0.0, dtype=jnp.float32)
         else:
             W_warm = self._W_prev
+            X_warm = self._X_prev
             shift = jnp.asarray(t - self._t_prev, dtype=jnp.float32)
         policy = self._step(jnp.asarray(t, dtype=jnp.float32),
                             jnp.asarray(x, dtype=jnp.float32),
-                            target, ms, W_warm, shift,
+                            target, ms, W_warm, X_warm, shift,
                             jnp.asarray(cold))
         self._W_prev = policy.W
+        self._X_prev = policy.X
         self._t_prev = t
         return policy
 
 
 def shift_warm_start(W, shift, dt):
-    """Shift the previous reduced-input trajectory by `shift` seconds onto
-    the new horizon (fractional node shifts round down; tail repeats)."""
+    """Shift a previous trajectory by `shift` seconds onto the new horizon
+    (fractional node shifts round down; tail repeats)."""
     N = W.shape[0]
     k = jnp.clip((shift / dt).astype(jnp.int32), 0, N - 1)
     idx = jnp.clip(jnp.arange(N) + k, 0, N - 1)
@@ -105,8 +111,9 @@ def shift_warm_start(W, shift, dt):
 
 
 def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
-             settings: IlqrSettings, t, x, target: TargetTrajectory,
-             ms: ModeSchedule, W_warm, warm_shift, cold) -> MpcPolicy:
+             settings: SqpSettings, t, x, target: TargetTrajectory,
+             ms: ModeSchedule, W_warm, X_warm, warm_shift,
+             cold) -> MpcPolicy:
     """One MPC solve (pure function; jit once, call every cycle)."""
     dynamics, stage_cost, final_cost, input_of, stage_qz, final_qz = ocp
     params = make_node_data(ms, target, x, t, cfg)
@@ -122,16 +129,19 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
     fq = lambda fd, xx: final_qz(fd, xx, target)
 
     # QMInitializer equivalent (reference qm_interface/src/initialization/
-    # QMInitializer.cpp:18-41): weight-compensating contact forces for each
-    # node's contact flags. For stance feet the force slots of w map 1:1
-    # onto u, so initializing w with the compensating input is exact.
+    # QMInitializer.cpp:18-41): input = weight-compensating contact forces
+    # for each node's contact flags; state = current state tiled over the
+    # horizon (multiple shooting keeps this bounded — no rollout blowup).
     W_init = jax.vmap(
         lambda f: C.weight_compensating_input(info, f))(
             params.contact_flags[:-1]).astype(W_warm.dtype)
+    X_init = jnp.tile(params.x0[None], (cfg.mpc.num_nodes + 1, 1))
     W0 = jnp.where(cold, W_init,
                    shift_warm_start(W_warm, warm_shift, cfg.mpc.dt))
-    sol = ilqr_solve(dyn, sc, fc, node_data, final_data, params.x0, W0,
-                     settings, stage_quad=sq, final_quad=fq)
+    X0 = jnp.where(cold, X_init,
+                   shift_warm_start(X_warm, warm_shift, cfg.mpc.dt))
+    sol = sqp_solve(dyn, sc, fc, node_data, final_data, params.x0, X0, W0,
+                    settings, stage_quad=sq, final_quad=fq)
 
     U = jax.vmap(input_of)(params.t_nodes[:-1], params.contact_flags[:-1],
                            params.swing_zdot[:-1], sol.X[:-1], sol.W)

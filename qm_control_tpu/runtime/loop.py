@@ -1,0 +1,233 @@
+"""Closed-loop control harness: sim @1 kHz <- WBC @500 Hz <- policy eval <-
+MPC @100 Hz, as one fused jitted cycle per MPC period.
+
+The TPU-native equivalent of the reference's controller_manager +
+QMController::update real-time loop + MRT policy handoff (reference
+QMController.cpp:128-190, :309-334; SURVEY.md §3.3). Key structural
+difference, by design (SURVEY.md §2.3): instead of an async MPC worker
+thread crossing into a real-time thread through a mutex-guarded policy
+buffer, the whole MPC period — one MPC solve followed by `ticks` control
+ticks each integrating `substeps` physics steps — is ONE pure function.
+Deterministic, jit-compiled, vmappable over scenario batches; the
+single-scenario wall-clock budget maps to the reference's deadlines
+(MPC 10 ms, WBC 2 ms; BASELINE.md).
+
+The hybrid-joint control law matches QMController::updateControlLaw
+(:177-190): legs (posDes, velDes, kp=0, kd=3, tau_ff) gated by the
+arm-settling staging time; arm (posDes, 0, kp_arm_wbc, kd_arm_wbc,
+tau_ff).
+"""
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QmConfig, WbcGains
+from ..gaits.gait import ModeSchedule, contact_flags_from_mode
+from ..models import centroidal as C
+from ..models.spec import RobotModel
+from ..mpc.mpc import MpcPolicy, evaluate_policy, mpc_step
+from ..ocp.problem import make_ocp
+from ..ocp.reference import TargetTrajectory, interpolate_ee_pose
+from ..solver.ilqr import IlqrSettings
+from ..wbc.wbc import hierarchical_wbc_update
+from .estimator import observation_from_rbd, rbd_state_from_plant, rbd_to_qv
+from .plant import (HybridCommand, PlantConfig, PlantState, init_plant_state,
+                    make_plant_step, push_command)
+from .safety import safety_check
+
+
+class LoopConfig(NamedTuple):
+    control_freq: float = 500.0        # WBC ticks per second
+    mpc_freq: float = 100.0            # MPC solves per second
+    leg_kd: float = 3.0                # QMController.cpp:182
+    leg_command_start_time: float = 0.0   # reference uses 10.0 (staging);
+    # our plant starts standing so legs are driven from t=0 by default
+    plant: PlantConfig = PlantConfig()
+
+    @property
+    def ticks_per_cycle(self) -> int:
+        return int(round(self.control_freq / self.mpc_freq))
+
+    @property
+    def substeps_per_tick(self) -> int:
+        return int(round(1.0 / (self.plant.sim_dt * self.control_freq)))
+
+
+class CycleCarry(NamedTuple):
+    plant: PlantState
+    W_warm: jnp.ndarray        # (N, 30) MPC input warm start
+    X_warm: jnp.ndarray        # (N+1, 30) MPC state warm start
+    input_last: jnp.ndarray    # (30,) for WBC joint-accel finite difference
+    last_yaw: jnp.ndarray      # scalar, yaw unwrap memory
+    t: jnp.ndarray             # controller time
+    safe: jnp.ndarray          # bool, sticky safety flag
+
+
+class CycleMetrics(NamedTuple):
+    ee_pos_err: jnp.ndarray    # scalar: ||p_ee - p_ref|| at cycle end
+    ee_ori_err: jnp.ndarray    # scalar: |quat distance| at cycle end
+    base_height: jnp.ndarray
+    mpc_cost: jnp.ndarray
+    safe: jnp.ndarray
+
+
+def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
+               loop_cfg: LoopConfig, settings: Optional[IlqrSettings] = None):
+    """Build cycle(carry, target, ms, gains) -> (carry', CycleMetrics):
+    one MPC period, fully on-device."""
+    from ..solver.sqp import SqpSettings
+    settings = settings or SqpSettings(num_iterations=cfg.mpc.num_iterations)
+    ocp = make_ocp(model, info, cfg)
+    plant_step = make_plant_step(model, loop_cfg.plant)
+    ticks = loop_cfg.ticks_per_cycle
+    substeps = loop_cfg.substeps_per_tick
+    tick_dt = 1.0 / loop_cfg.control_freq
+    tau_max = jnp.asarray(model.joint_effort, dtype=jnp.float32)
+
+    def cycle(carry: CycleCarry, target: TargetTrajectory, ms: ModeSchedule,
+              gains: WbcGains):
+        # --- estimator + MPC solve (the async thread's work, §3.4) ---
+        rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
+        x_obs = observation_from_rbd(model, info, rbd, carry.last_yaw)
+        policy = mpc_step(ocp, model, info, cfg, settings, carry.t, x_obs,
+                          target, ms, carry.W_warm, carry.X_warm,
+                          jnp.asarray(1.0 / loop_cfg.mpc_freq,
+                                      dtype=jnp.float32),
+                          jnp.asarray(False))
+        new_yaw = x_obs[9]
+
+        # --- control ticks (the real-time loop's work, §3.3) ---
+        def tick(tc, _):
+            plant, input_last, t, safe = tc
+            rbd_t = rbd_state_from_plant(model, plant.q, plant.v)
+            x_t = observation_from_rbd(model, info, rbd_t, new_yaw)
+            x_des, u_des, mode = evaluate_policy(policy, t)
+            q_meas, v_meas = rbd_to_qv(rbd_t)
+            flags = contact_flags_from_mode(mode).astype(jnp.float32)
+            wbc = hierarchical_wbc_update(
+                model, info, gains, tau_max, x_des, u_des, input_last,
+                q_meas, v_meas, flags, jnp.asarray(tick_dt, jnp.float32), t)
+            # hybrid commands (QMController::updateControlLaw :177-190)
+            pos_des = x_des[12:30]
+            vel_des = u_des[12:30]
+            leg_on = (t >= loop_cfg.leg_command_start_time).astype(jnp.float32)
+            kp = jnp.concatenate([jnp.zeros(12),
+                                  jnp.asarray(gains.kp_arm_wbc)
+                                  * jnp.ones(6)]).astype(jnp.float32)
+            kd = jnp.concatenate([
+                loop_cfg.leg_kd * leg_on * jnp.ones(12),
+                jnp.asarray(gains.kd_arm_wbc) * jnp.ones(6)]).astype(
+                    jnp.float32)
+            ff = jnp.concatenate([wbc.torques[:12] * leg_on,
+                                  wbc.torques[12:]])
+            cmd = HybridCommand(
+                pos_des=pos_des,
+                vel_des=jnp.concatenate([vel_des[:12] * leg_on,
+                                         jnp.zeros(6, dtype=jnp.float32)]),
+                kp=kp, kd=kd, ff=ff)
+            plant = push_command(plant, cmd)
+
+            def sub(p, _):
+                p, _fc = plant_step(p)
+                return p, None
+            plant, _ = jax.lax.scan(sub, plant, None, length=substeps)
+            safe = safe & safety_check(x_t, policy.cost)
+            return (plant, u_des, t + tick_dt, safe), None
+
+        (plant, input_last, t, safe), _ = jax.lax.scan(
+            tick, (carry.plant, carry.input_last, carry.t, carry.safe),
+            None, length=ticks)
+
+        # --- metrics ---
+        rbd_end = rbd_state_from_plant(model, plant.q, plant.v)
+        p_ref, q_ref = interpolate_ee_pose(target, t)
+        ee_pos = rbd_end[48:51]
+        ee_q_xyzw = rbd_end[51:55]
+        ee_q = jnp.concatenate([ee_q_xyzw[3:4], ee_q_xyzw[:3]])
+        from ..models.rotations import quat_distance
+        ori_err = jnp.linalg.norm(quat_distance(ee_q, q_ref))
+        metrics = CycleMetrics(
+            ee_pos_err=jnp.linalg.norm(ee_pos - p_ref),
+            ee_ori_err=ori_err,
+            base_height=plant.q[2],
+            mpc_cost=policy.cost,
+            safe=safe)
+        new_carry = CycleCarry(plant=plant, W_warm=policy.W,
+                               X_warm=policy.X,
+                               input_last=input_last, last_yaw=new_yaw,
+                               t=t, safe=safe)
+        return new_carry, metrics
+
+    def warmup(carry: CycleCarry, target: TargetTrajectory, ms: ModeSchedule):
+        """One MPC solve WITHOUT advancing the plant — the reference's
+        starting() handshake (QMController.cpp:98-126 blocks running
+        advanceMpc until the first converged policy before the real-time
+        loop starts). Call repeatedly to converge the warm start."""
+        rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
+        x_obs = observation_from_rbd(model, info, rbd, carry.last_yaw)
+        policy = mpc_step(ocp, model, info, cfg, settings, carry.t, x_obs,
+                          target, ms, carry.W_warm, carry.X_warm,
+                          jnp.asarray(0.0, dtype=jnp.float32),
+                          jnp.asarray(False))
+        return carry._replace(W_warm=policy.W, X_warm=policy.X)
+
+    return cycle, warmup
+
+
+class ControlLoop:
+    """Host-side driver: runs jitted MPC cycles, refreshes targets/gaits
+    between cycles (the command-topic equivalent), collects metrics."""
+
+    def __init__(self, model: RobotModel, info: C.CentroidalInfo,
+                 cfg: QmConfig, loop_cfg: LoopConfig = LoopConfig(),
+                 gains: WbcGains = None,
+                 settings: Optional[IlqrSettings] = None):
+        self.model = model
+        self.info = info
+        self.cfg = cfg
+        self.loop_cfg = loop_cfg
+        self.gains = gains or cfg.wbc
+        cycle, warm = make_cycle(model, info, cfg, loop_cfg, settings)
+        self._cycle = jax.jit(cycle)
+        self._warmup = jax.jit(warm)
+
+    def init_carry(self, q0, v0=None) -> CycleCarry:
+        N = self.cfg.mpc.num_nodes
+        # QMInitializer-equivalent warm start: weight-compensating stance
+        # forces (the cold path of MpcSolver is host-gated; here the cycle
+        # is fully on-device so we seed the carry instead)
+        w0 = C.weight_compensating_input(
+            self.info, jnp.ones(4)).astype(jnp.float32)
+        rbd0 = rbd_state_from_plant(self.model,
+                                    jnp.asarray(q0, dtype=jnp.float32),
+                                    jnp.zeros(24, dtype=jnp.float32))
+        x0 = observation_from_rbd(self.model, self.info, rbd0)
+        return CycleCarry(
+            plant=init_plant_state(q0, v0, model=self.model),
+            W_warm=jnp.tile(w0[None], (N, 1)),
+            X_warm=jnp.tile(x0[None].astype(jnp.float32), (N + 1, 1)),
+            input_last=jnp.zeros(30, dtype=jnp.float32),
+            last_yaw=jnp.asarray(float(np.asarray(q0)[3]), dtype=jnp.float32),
+            t=jnp.asarray(0.0, dtype=jnp.float32),
+            safe=jnp.asarray(True))
+
+    def warmup(self, carry: CycleCarry, target: TargetTrajectory,
+               ms: ModeSchedule, num_solves: int = 20) -> CycleCarry:
+        """Converge the MPC warm start before releasing the control loop
+        (the reference's starting() initial-policy handshake)."""
+        for _ in range(num_solves):
+            carry = self._warmup(carry, target, ms)
+        return carry
+
+    def run(self, carry: CycleCarry, target: TargetTrajectory,
+            ms: ModeSchedule, num_cycles: int):
+        """Run num_cycles MPC periods; returns (carry, stacked metrics)."""
+        out = []
+        for _ in range(num_cycles):
+            carry, m = self._cycle(carry, target, ms, self.gains)
+            out.append(m)
+        metrics = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
+        return carry, metrics

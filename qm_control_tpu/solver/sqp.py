@@ -1,0 +1,169 @@
+"""Multiple-shooting SQP (Gauss-Newton) with a Riccati LQ backend.
+
+The TPU-native equivalent of OCS2's SqpMpc (multiple-shooting SQP with the
+HPIPM structured-LQ backend; reference task.info:75-92, instantiated at
+QMController.cpp:287). Unlike single-shooting iLQR (solver/ilqr.py), the
+state trajectory is a DECISION VARIABLE: dynamics enter as defect
+constraints
+
+    d_k = f(x_k, w_k) - x_{k+1}            (driven to 0 by the SQP)
+
+so an unstable system over a long horizon never produces a diverging
+rollout — the exact reason the reference chose multiple shooting for the
+1.0 s centroidal horizon, and the reason iLQR stalls on it (verified:
+open-loop tails blow up within the horizon).
+
+One SQP iteration (sqpIteration=1 in the reference, run at 100 Hz with
+warm starts):
+  1. linearize dynamics + quadratize cost at (X, W) — vmapped over nodes;
+  2. Riccati backward sweep WITH defect (affine) terms — lax.scan;
+  3. parallel line search: for each step length alpha, the linear forward
+     pass  dw = alpha k + K dx,  dx' = A dx + B dw + alpha d  closes
+     defects by (1-alpha); candidates scored by an L1 merit
+     cost + nu |d|_1 and the best taken (all candidates evaluated at once
+     via vmap — no serial backtracking).
+
+Same closure contract as ilqr_solve: dynamics(kd, x, w), stage_cost,
+final_cost, optional stage_quad/final_quad (Gauss-Newton quadratizers).
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SqpSettings(NamedTuple):
+    num_iterations: int = 1          # task.info sqp.sqpIteration
+    reg: float = 1e-5                # Levenberg shift on Quu
+    merit_nu: float = 1e4            # L1 defect penalty in the merit
+    alphas: tuple = (1.0, 0.6, 0.35, 0.2, 0.1, 0.05, 0.01)
+
+
+class SqpSolution(NamedTuple):
+    X: jnp.ndarray          # (N+1, nx)
+    W: jnp.ndarray          # (N, nw)
+    cost: jnp.ndarray       # scalar: cost at the returned iterate
+    defect: jnp.ndarray     # scalar: max |defect| at the returned iterate
+    K: jnp.ndarray          # (N, nw, nx) feedback gains of the last sweep
+    alpha: jnp.ndarray      # accepted step length of the last iteration
+
+
+def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
+              x0, X_init, W_init, settings: SqpSettings = SqpSettings(),
+              stage_quad=None, final_quad=None) -> SqpSolution:
+    """Minimize sum_k l_k(x_k, w_k) + lf(x_N)  s.t.  x_{k+1} = f_k(x_k, w_k),
+    x_0 = x0, starting from the (possibly infeasible) iterate (X_init, W_init).
+
+    A good cold-start X_init is simply tile(x0) — bounded by construction
+    (the OCS2 initializer does exactly this, QMInitializer.cpp:35-40).
+    """
+    N, nw = W_init.shape
+    nx = x0.shape[0]
+    reg = settings.reg
+    nu = settings.merit_nu
+
+    if stage_quad is None:
+        def stage_quad(kd, x, w):
+            z = jnp.concatenate([x, w])
+            lfun = lambda zz: stage_cost(kd, zz[:nx], zz[nx:])
+            l = lfun(z)
+            lz = jax.grad(lfun)(z)
+            lzz = jax.jacfwd(jax.grad(lfun))(z)
+            return (l, lz[:nx], lz[nx:], lzz[:nx, :nx], lzz[nx:, nx:],
+                    lzz[nx:, :nx])
+
+    if final_quad is None:
+        def final_quad(fd, x):
+            lfun = lambda xx: final_cost(fd, xx)
+            return lfun(x), jax.grad(lfun)(x), jax.jacfwd(jax.grad(lfun))(x)
+
+    def eval_costs(X, W):
+        costs = jax.vmap(stage_cost)(node_data, X[:-1], W)
+        return jnp.sum(costs) + final_cost(final_data, X[-1])
+
+    def eval_defects(X, W):
+        f = jax.vmap(dynamics)(node_data, X[:-1], W)
+        return f - X[1:]                                  # (N, nx)
+
+    def merit(X, W):
+        d = eval_defects(X, W)
+        return eval_costs(X, W) + nu * jnp.sum(jnp.abs(d)), d
+
+    def linearize(X, W):
+        def node(kd, x, w):
+            A = jax.jacfwd(lambda xx: dynamics(kd, xx, w))(x)
+            B = jax.jacfwd(lambda ww: dynamics(kd, x, ww))(w)
+            _, lx, lw, lxx, lww, lwx = stage_quad(kd, x, w)
+            return A, B, lx, lw, lxx, lww, lwx
+        return jax.vmap(node)(node_data, X[:-1], W)
+
+    def backward(A, B, lx, lu, lxx, luu, lux, d, VxN, VxxN):
+        def bstep(carry, inp):
+            Vx, Vxx = carry
+            A, B, lx, lu, lxx, luu, lux, d = inp
+            # affine (defect) term: value gradient evaluated at x' + d
+            Vxd = Vx + Vxx @ d
+            Qx = lx + A.T @ Vxd
+            Qu = lu + B.T @ Vxd
+            VA = Vxx @ A
+            Qxx = lxx + A.T @ VA
+            Quu = luu + B.T @ (Vxx @ B)
+            Qux = lux + B.T @ VA
+            Quu_reg = 0.5 * (Quu + Quu.T) + reg * jnp.eye(nw, dtype=Quu.dtype)
+            kK = jnp.linalg.solve(Quu_reg,
+                                  jnp.concatenate([Qu[:, None], Qux], axis=1))
+            kff, Kfb = -kK[:, 0], -kK[:, 1:]
+            Vx_new = Qx + Kfb.T @ (Quu @ kff) + Kfb.T @ Qu + Qux.T @ kff
+            Vxx_new = Qxx + Kfb.T @ Quu @ Kfb + Kfb.T @ Qux + Qux.T @ Kfb
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            return (Vx_new, Vxx_new), (kff, Kfb)
+        (_, _), (kffs, Kfbs) = jax.lax.scan(
+            bstep, (VxN, VxxN), (A, B, lx, lu, lxx, luu, lux, d),
+            reverse=True)
+        return kffs, Kfbs
+
+    def linear_forward(X, W, A, B, d, kffs, Kfbs, alpha):
+        """dx' = A dx + B dw + alpha d;  dw = alpha k + K dx."""
+        def step(dx, inp):
+            A, B, dk, kff, Kfb = inp
+            dw = alpha * kff + Kfb @ dx
+            dx_next = A @ dx + B @ dw + alpha * dk
+            return dx_next, (dx, dw)
+        dxN, (dX, dW) = jax.lax.scan(
+            step, jnp.zeros(nx, dtype=x0.dtype), (A, B, d, kffs, Kfbs))
+        dX = jnp.concatenate([dX, dxN[None]], axis=0)
+        return X + dX, W + dW
+
+    def iteration(carry, _):
+        X, W, m_cur = carry
+        A, B, lx, lu, lxx, luu, lux = linearize(X, W)
+        d = eval_defects(X, W)
+        _, VxN, VxxN = final_quad(final_data, X[-1])
+        VxxN = 0.5 * (VxxN + VxxN.T)
+        kffs, Kfbs = backward(A, B, lx, lu, lxx, luu, lux, d, VxN, VxxN)
+        alphas = jnp.asarray(settings.alphas, dtype=X.dtype)
+
+        def candidate(alpha):
+            Xc, Wc = linear_forward(X, W, A, B, d, kffs, Kfbs, alpha)
+            mc, _ = merit(Xc, Wc)
+            return Xc, Wc, mc
+        Xc, Wc, mc = jax.vmap(candidate)(alphas)
+        mc = jnp.where(jnp.isfinite(mc), mc, jnp.inf)
+        best = jnp.argmin(mc)
+        improved = mc[best] < m_cur
+        X_new = jnp.where(improved, Xc[best], X)
+        W_new = jnp.where(improved, Wc[best], W)
+        m_new = jnp.minimum(mc[best], m_cur)
+        alpha_used = jnp.where(improved, alphas[best], 0.0)
+        return (X_new, W_new, m_new), (Kfbs, alpha_used)
+
+    X0 = X_init.at[0].set(x0)
+    m0, _ = merit(X0, W_init)
+    (X, W, _), (Kfbs, alpha) = jax.lax.scan(
+        iteration, (X0, W_init, m0), None, length=settings.num_iterations)
+    d_final = eval_defects(X, W)
+    return SqpSolution(X=X, W=W, cost=eval_costs(X, W),
+                       defect=jnp.max(jnp.abs(d_final)),
+                       K=jax.tree_util.tree_map(lambda a: a[-1], Kfbs),
+                       alpha=alpha[-1])

@@ -90,7 +90,7 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
         jnp.concatenate([t1_init.b,
                          jnp.zeros(pad, dtype=t1_init.b.dtype)]),
         t1_run.D, t1_run.f)
-    w_run = jnp.where(jnp.asarray(time) < ARM_SETTLING_TIME, 0.0, 1.0)
+    w_run = jnp.where(jnp.asarray(time) < gains.arm_settling_time, 0.0, 1.0)
     t1 = _blend_tasks(t1_init_padded, t1_run, w_run)
 
     t2 = contact_force_task(m, input_des) + base_linear_task(
