@@ -1,0 +1,73 @@
+"""Benchmark: batched SLQ/SQP-MPC throughput per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric per BASELINE.json: batched MPC solves/s/chip on the full reference
+problem (1.0 s horizon, dt 0.015 -> 67 nodes, 1 SQP iteration per solve,
+trot gait, EE-pose target). vs_baseline is against the reference's CPU MPC
+rate of 100 solves/s (mpcDesiredFrequency, task.info:146 — one robot).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_SOLVES_PER_S = 100.0   # reference: 100 Hz MPC, one scenario
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import qm_control_tpu  # noqa: F401
+    from qm_control_tpu.config import QmConfig
+    from qm_control_tpu.parallel.batch import (BatchScenario,
+                                               make_batched_mpc_step)
+    from __graft_entry__ import _setup
+
+    cfg, model, info, x0, target, ms = _setup(QmConfig())
+    N = cfg.mpc.num_nodes
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    B = int(os.environ.get("BENCH_BATCH", "256" if on_tpu else "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "10" if on_tpu else "3"))
+
+    tile = lambda a: jnp.tile(jnp.asarray(a)[None], (B,) + (1,) * jnp.ndim(a))
+    batch = BatchScenario(
+        t=jnp.zeros(B, dtype=jnp.float32),
+        x=tile(x0),
+        target=jax.tree_util.tree_map(tile, target),
+        ms=jax.tree_util.tree_map(tile, ms),
+        W_warm=jnp.zeros((B, N, 30), dtype=jnp.float32),
+        X_warm=tile(jnp.tile(x0[None], (N + 1, 1))),
+    )
+    step = jax.jit(make_batched_mpc_step(model, info, cfg))
+
+    # compile + warm up (also converges the warm start, like the real loop)
+    batch, policy = step(batch)
+    jax.block_until_ready(policy.cost)
+    batch, policy = step(batch)
+    jax.block_until_ready(policy.cost)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        batch, policy = step(batch)
+    jax.block_until_ready(policy.cost)
+    dt = (time.perf_counter() - t0) / iters
+
+    solves_per_s = B / dt
+    result = {
+        "metric": "batched_sqp_mpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": f"solves/s (B={B}, N={N}, 1 SQP iter, {dev.device_kind})",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
