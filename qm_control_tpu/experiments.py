@@ -1,0 +1,230 @@
+"""Canonical experiments — the five BASELINE.json configs, runnable.
+
+Each function builds the closed loop, runs it, and returns a metrics dict
+(plus an optional TrajectoryLog). These are the reference's validation
+scenarios (SURVEY.md §6 / BASELINE.json "configs"):
+
+  1. standing_ee_hold      — standing, fixed EE pose, stance or
+                             trot-in-place gait
+  2. traverse_ee_hold      — cmd_vel locomotion with the EE pose held
+                             (the README 30 cm stability experiment)
+  3. ee_tracking           — whole-body planning to a moving EE target
+  4. disturbance_rejection — lateral base push / EE wrench recovery
+  5. batched_rollouts      — domain-randomized scenario fleet (vmap)
+
+Defaults are CPU-tractable; pass cfg overrides for full-fidelity runs.
+"""
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MpcConfig, QmConfig
+from .gaits.library import GAIT_LIBRARY, GaitSchedule
+from .models import centroidal as C
+from .models import load_model
+from .models.spec import default_q
+from .ocp.reference import cmd_vel_to_target, target_from_knots
+from .runtime.estimator import observation_from_rbd, rbd_state_from_plant
+from .runtime.loop import ControlLoop, LoopConfig
+from .utils.viz import TrajectoryLog
+
+
+def _default_cfg(horizon=1.0, dt=0.015):
+    cfg = QmConfig().with_(mpc=MpcConfig(time_horizon=horizon, dt=dt,
+                                         num_iterations=1))
+    return cfg.with_(wbc=dataclasses.replace(cfg.wbc, arm_settling_time=0.0))
+
+
+def _standing_setup(cfg):
+    model = load_model()
+    info = C.make_centroidal_info(model)
+    q0 = jnp.asarray(default_q(base_pos=(0, 0, 0.38)), dtype=jnp.float32)
+    s = np.zeros(37)
+    s[6:30] = np.asarray(q0)
+    s[8] = 0.4
+    s[30:33] = [0.52, 0.09, 0.78]
+    s[33:37] = [0.5, -0.5, 0.5, -0.5]
+    return model, info, q0, s
+
+
+def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
+                     duration: float = 4.0, warmup: int = 25,
+                     transient: float = 1.0) -> dict:
+    """Config #1: EE pose hold while standing / trotting in place."""
+    cfg = cfg or _default_cfg()
+    model, info, q0, s = _standing_setup(cfg)
+    loop = ControlLoop(model, info, cfg, LoopConfig())
+    target = target_from_knots([0.0, duration + 5], [s, s])
+    ms = GaitSchedule(GAIT_LIBRARY[gait]).mode_schedule(0.0, duration + 5)
+    carry = loop.init_carry(q0)
+    carry = loop.warmup(carry, target, ms, num_solves=warmup)
+    pos_errs, ori_errs, safes = [], [], []
+    cycles = int(duration * cfg.mpc.mpc_frequency)
+    chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
+    for _ in range(cycles // chunk):
+        carry, m = loop.run(carry, target, ms, num_cycles=chunk)
+        if float(carry.t) > transient:
+            pos_errs.append(float(np.asarray(m.ee_pos_err)[-1]))
+            ori_errs.append(float(np.asarray(m.ee_ori_err)[-1]))
+        safes.append(bool(np.asarray(m.safe)[-1]))
+    return {
+        "experiment": f"standing_ee_hold[{gait}]",
+        "ee_pos_err_max_mm": 1e3 * max(pos_errs),
+        "ee_pos_err_mean_mm": 1e3 * float(np.mean(pos_errs)),
+        "ee_ori_err_max_deg": float(np.degrees(max(ori_errs))),
+        "safe": all(safes),
+        "reference_target_mm": 3.5,
+        "reference_target_deg": 2.6,
+    }
+
+
+def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
+                     speed: float = 0.15, distance: float = 0.3,
+                     max_time: float = 10.0, warmup: int = 25) -> dict:
+    """Config #2: cmd_vel traverse with the EE pose held fixed in world
+    (the README 30 cm EE-stability experiment). Targets are re-issued
+    from the current observation each MPC chunk, like the reference's
+    publisher node."""
+    cfg = cfg or _default_cfg()
+    model, info, q0, s = _standing_setup(cfg)
+    loop = ControlLoop(model, info, cfg, LoopConfig())
+    ee_hold = np.concatenate([s[30:33], s[33:37]])
+    target = target_from_knots([0.0, max_time + 5], [s, s])
+    ms = GaitSchedule(GAIT_LIBRARY[gait]).mode_schedule(0.0, max_time + 5)
+    carry = loop.init_carry(q0)
+    carry = loop.warmup(carry, target, ms, num_solves=warmup)
+    chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
+    phase = "settle"
+    worst_pos = worst_ori = 0.0
+    while float(carry.t) < max_time:
+        rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
+        x_obs = np.asarray(observation_from_rbd(model, info, rbd,
+                                                carry.last_yaw))
+        ee_state = np.asarray(rbd[48:55])
+        x_now = float(carry.plant.q[0])
+        if phase == "settle" and float(carry.t) >= 0.5:
+            phase = "walk"
+        if phase == "walk" and x_now >= distance:
+            phase = "stop"
+        v_cmd = [speed, 0, 0, 0] if phase == "walk" else [0, 0, 0, 0]
+        target, _ = cmd_vel_to_target(v_cmd, ee_hold.copy(), float(carry.t),
+                                      x_obs, ee_state, cfg.reference)
+        carry, m = loop.run(carry, target, ms, num_cycles=chunk)
+        if float(carry.t) > 0.6:
+            worst_pos = max(worst_pos, float(np.nanmax(m.ee_pos_err)))
+            worst_ori = max(worst_ori, float(np.nanmax(m.ee_ori_err)))
+        if not bool(np.asarray(m.safe)[-1]):
+            break
+    return {
+        "experiment": f"traverse_ee_hold[{gait}, {speed} m/s]",
+        "distance_reached_m": float(carry.plant.q[0]),
+        "ee_pos_err_max_mm": 1e3 * worst_pos,
+        "ee_ori_err_max_deg": float(np.degrees(worst_ori)),
+        "safe": bool(np.asarray(carry.safe)),
+        "reference_target_mm": 3.5,
+        "reference_target_deg": 2.6,
+    }
+
+
+def ee_tracking(cfg: Optional[QmConfig] = None, duration: float = 4.0,
+                amplitude: float = 0.1, period: float = 4.0,
+                warmup: int = 25) -> dict:
+    """Config #3: track a moving EE target (vertical figure sweep) with
+    whole-body planning; the base follows with the mount offset."""
+    cfg = cfg or _default_cfg()
+    model, info, q0, s = _standing_setup(cfg)
+    loop = ControlLoop(model, info, cfg, LoopConfig())
+    ms = GaitSchedule(GAIT_LIBRARY["stance"]).mode_schedule(0.0,
+                                                           duration + 5)
+    target = target_from_knots([0.0, duration + 5], [s, s])
+    carry = loop.init_carry(q0)
+    carry = loop.warmup(carry, target, ms, num_solves=warmup)
+    chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
+    errs = []
+    while float(carry.t) < duration:
+        t = float(carry.t)
+        s_t = s.copy()
+        # moving EE target: sinusoidal z + y sweep
+        s_t[31] = s[31] + amplitude * np.sin(2 * np.pi * t / period)
+        s_t[32] = s[32] + 0.5 * amplitude * (1 - np.cos(2 * np.pi * t / period))
+        target = target_from_knots([t, t + 0.5, duration + 5],
+                                   [s_t, s_t, s_t])
+        carry, m = loop.run(carry, target, ms, num_cycles=chunk)
+        if t > 1.0:
+            errs.append(float(np.asarray(m.ee_pos_err)[-1]))
+    return {
+        "experiment": "ee_tracking",
+        "ee_pos_err_max_mm": 1e3 * max(errs),
+        "ee_pos_err_mean_mm": 1e3 * float(np.mean(errs)),
+        "safe": bool(np.asarray(carry.safe)),
+    }
+
+
+def disturbance_rejection(cfg: Optional[QmConfig] = None,
+                          push_velocity: float = 0.3,
+                          settle: float = 1.0, recover: float = 1.5,
+                          warmup: int = 25) -> dict:
+    """Config #4: lateral base push; measures recovery (the force-
+    disturbance robustness scenario — our plant injects the impulse as an
+    instantaneous base velocity)."""
+    cfg = cfg or _default_cfg()
+    model, info, q0, s = _standing_setup(cfg)
+    loop = ControlLoop(model, info, cfg, LoopConfig())
+    target = target_from_knots([0.0, 20.0], [s, s])
+    ms = GaitSchedule(GAIT_LIBRARY["stance"]).mode_schedule(0.0, 20.0)
+    carry = loop.init_carry(q0)
+    carry = loop.warmup(carry, target, ms, num_solves=warmup)
+    carry, _ = loop.run(carry, target, ms,
+                        num_cycles=int(settle * cfg.mpc.mpc_frequency))
+    # impulse
+    carry = carry._replace(plant=carry.plant._replace(
+        v=carry.plant.v.at[1].add(push_velocity)))
+    carry, m = loop.run(carry, target, ms,
+                        num_cycles=int(recover * cfg.mpc.mpc_frequency))
+    y_end = float(carry.plant.q[1])
+    return {
+        "experiment": f"disturbance_rejection[{push_velocity} m/s]",
+        "recovered": bool(np.asarray(m.safe)[-1])
+        and np.isfinite(y_end),
+        "lateral_displacement_m": abs(y_end),
+        "ee_pos_err_end_mm": 1e3 * float(np.asarray(m.ee_pos_err)[-1]),
+    }
+
+
+def batched_rollouts(cfg: Optional[QmConfig] = None, batch: int = 64,
+                     num_steps: int = 5, seed: int = 0) -> dict:
+    """Config #5: domain-randomized scenario fleet — batched MPC solves
+    over randomized initial states/targets (the gain-tuning workload)."""
+    from .parallel.batch import BatchScenario, make_batched_mpc_step
+    cfg = cfg or _default_cfg(horizon=0.5, dt=0.025)
+    model, info, q0, s = _standing_setup(cfg)
+    rng = np.random.default_rng(seed)
+    N = cfg.mpc.num_nodes
+    B = batch
+    target = target_from_knots([0.0, 10.0], [s, s])
+    ms = GaitSchedule(GAIT_LIBRARY["trot"]).mode_schedule(0.0, 10.0)
+    tile = lambda a: jnp.tile(jnp.asarray(a)[None],
+                              (B,) + (1,) * jnp.ndim(a))
+    x0 = jnp.asarray(s[:30], dtype=jnp.float32).at[8].set(0.38)
+    xs = tile(x0) + jnp.asarray(
+        rng.normal(0, 0.02, (B, 30)) * ([1] * 12 + [0.3] * 18),
+        dtype=jnp.float32)
+    b = BatchScenario(
+        t=jnp.zeros(B, dtype=jnp.float32), x=xs,
+        target=jax.tree_util.tree_map(tile, target),
+        ms=jax.tree_util.tree_map(tile, ms),
+        W_warm=jnp.zeros((B, N, 30), dtype=jnp.float32),
+        X_warm=tile(jnp.tile(x0[None], (N + 1, 1))))
+    step = jax.jit(make_batched_mpc_step(model, info, cfg))
+    for _ in range(num_steps):
+        b, policy = step(b)
+    costs = np.asarray(policy.cost)
+    return {
+        "experiment": f"batched_rollouts[B={B}]",
+        "finite_fraction": float(np.isfinite(costs).mean()),
+        "cost_mean": float(np.nanmean(costs)),
+        "cost_p95": float(np.nanpercentile(costs, 95)),
+    }

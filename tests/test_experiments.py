@@ -1,0 +1,37 @@
+"""Smoke tests for the canonical experiments (reduced fidelity for CI)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from qm_control_tpu import experiments as E
+from qm_control_tpu.config import MpcConfig, QmConfig
+
+
+def _ci_cfg():
+    cfg = QmConfig().with_(mpc=MpcConfig(time_horizon=0.5, dt=0.025,
+                                         num_iterations=1))
+    return cfg.with_(wbc=dataclasses.replace(cfg.wbc, arm_settling_time=0.0))
+
+
+@pytest.mark.slow
+def test_standing_ee_hold_smoke():
+    r = E.standing_ee_hold(cfg=_ci_cfg(), gait="stance", duration=1.0,
+                           warmup=10, transient=0.4)
+    assert r["safe"]
+    assert r["ee_pos_err_max_mm"] < 30.0
+
+
+@pytest.mark.slow
+def test_disturbance_rejection_smoke():
+    r = E.disturbance_rejection(cfg=_ci_cfg(), push_velocity=0.2,
+                                settle=0.3, recover=0.7, warmup=10)
+    assert r["recovered"]
+    assert r["lateral_displacement_m"] < 0.3
+
+
+@pytest.mark.slow
+def test_batched_rollouts_smoke():
+    r = E.batched_rollouts(cfg=_ci_cfg(), batch=4, num_steps=2)
+    assert r["finite_fraction"] == 1.0
+    assert np.isfinite(r["cost_mean"])
