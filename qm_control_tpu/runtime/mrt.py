@@ -60,14 +60,62 @@ class _Slot:
             return self._value, self._version
 
 
+class _NativePolicySlot:
+    """Policy exchange through the native seqlock PolicyBuffer
+    (native/qm_native.cpp): the real-time reader never blocks on the
+    writer. Policies are flattened to one float32 vector; the pytree
+    structure is captured from the first write."""
+
+    def __init__(self):
+        from .. import native as _native
+        self._native = _native
+        self._buf = None
+        self._treedef = None
+        self._shapes = None
+
+    def write(self, policy):
+        import jax
+        leaves, treedef = jax.tree_util.tree_flatten(policy)
+        flat = np.concatenate(
+            [np.asarray(l, dtype=np.float32).reshape(-1) for l in leaves])
+        if self._buf is None:
+            self._shapes = [np.asarray(l).shape for l in leaves]
+            self._dtypes = [np.asarray(l).dtype for l in leaves]
+            self._treedef = treedef
+            self._buf = self._native.PolicyBuffer(flat.size)
+        self._buf.write(flat, stamp=float(policy.t_nodes[0]))
+
+    def read(self):
+        if self._buf is None:
+            return None, 0
+        res = self._buf.read()
+        if res is None:
+            return None, 0
+        flat, _ = res
+        import jax
+        leaves = []
+        ofs = 0
+        for shp, dt in zip(self._shapes, self._dtypes):
+            n = int(np.prod(shp)) if shp else 1
+            leaves.append(flat[ofs:ofs + n].reshape(shp).astype(dt))
+            ofs += n
+        return jax.tree_util.tree_unflatten(self._treedef, leaves), \
+            self._buf.version
+
+
 class MpcMrtInterface:
     """Async MPC runner + policy double buffer."""
 
-    def __init__(self, solver: MpcSolver, mpc_frequency: float = None):
+    def __init__(self, solver: MpcSolver, mpc_frequency: float = None,
+                 use_native: bool = True):
         self.solver = solver
         self.freq = mpc_frequency or solver.cfg.mpc.mpc_frequency
         self._obs = _Slot()       # (t, x, target, mode_schedule)
-        self._policy = _Slot()    # MpcPolicy
+        from .. import native as _native
+        if use_native and _native.AVAILABLE:
+            self._policy = _NativePolicySlot()   # seqlock (C++)
+        else:
+            self._policy = _Slot()               # mutex fallback
         self._thread: Optional[threading.Thread] = None
         self._running = threading.Event()
         self._solve_count = 0
