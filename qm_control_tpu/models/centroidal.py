@@ -71,23 +71,26 @@ def base_velocity_from_momentum(info: CentroidalInfo, x):
     Reference equivalent: OCS2 getFloatingBaseCentroidalStateFromRbdModel /
     the base-pose rows of the centroidal flow map.
     """
+    from .smallmat import mm3, mv3, solve3
     zyx = x[9:12]
     R = euler_zyx_to_R(zyx)
     E = euler_zyx_rate_to_omega_world_matrix(zyx)
-    I_w = R @ jnp.asarray(info.I_com_base, dtype=x.dtype) @ R.T
+    I_w = mm3(mm3(R, jnp.asarray(info.I_com_base, dtype=x.dtype)),
+              jnp.swapaxes(R, -1, -2))
     v_com = x[0:3]
     L = info.mass * x[3:6]
-    omega = jnp.linalg.solve(I_w, L)
-    r_w = R @ jnp.asarray(info.r_com_base, dtype=x.dtype)
+    omega = solve3(I_w, L)
+    r_w = mv3(R, jnp.asarray(info.r_com_base, dtype=x.dtype))
     p_base_dot = v_com - jnp.cross(omega, r_w)
-    zyx_dot = jnp.linalg.solve(E, omega)
+    zyx_dot = solve3(E, omega)
     return jnp.concatenate([p_base_dot, zyx_dot])
 
 
 def com_position_srbd(info: CentroidalInfo, x):
     """SRBD COM: base position + rotated nominal offset."""
+    from .smallmat import mv3
     R = euler_zyx_to_R(x[9:12])
-    return x[6:9] + R @ jnp.asarray(info.r_com_base, dtype=x.dtype)
+    return x[6:9] + mv3(R, jnp.asarray(info.r_com_base, dtype=x.dtype))
 
 
 def flow_map(model: RobotModel, info: CentroidalInfo, x, u,
@@ -153,14 +156,16 @@ def weight_compensating_input(info: CentroidalInfo, contact_flags):
 
 def centroidal_state_from_rbd(model: RobotModel, info: CentroidalInfo, q, v):
     """x(30) from generalized (q, v) using the SRBD momentum matrix."""
+    from .smallmat import mm3, mv3
     zyx = q[3:6]
     R = euler_zyx_to_R(zyx)
     E = euler_zyx_rate_to_omega_world_matrix(zyx)
-    omega = E @ v[3:6]
-    r_w = R @ jnp.asarray(info.r_com_base, dtype=q.dtype)
+    omega = mv3(E, v[3:6])
+    r_w = mv3(R, jnp.asarray(info.r_com_base, dtype=q.dtype))
     v_com = v[0:3] + jnp.cross(omega, r_w)
-    I_w = R @ jnp.asarray(info.I_com_base, dtype=q.dtype) @ R.T
-    l_norm = (I_w @ omega) / info.mass
+    I_w = mm3(mm3(R, jnp.asarray(info.I_com_base, dtype=q.dtype)),
+              jnp.swapaxes(R, -1, -2))
+    l_norm = mv3(I_w, omega) / info.mass
     return jnp.concatenate([v_com, l_norm, q])
 
 

@@ -16,8 +16,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .rotations import axis_angle_to_R, skew
+from .smallmat import mm3, mv3
 from .spec import PRISMATIC, RobotModel
 
 
@@ -32,6 +34,7 @@ def fk(model: RobotModel, q):
     """
     n = model.n_bodies
     Rs, ps, aw, ow = [], [], [], []
+    eye3 = np.eye(3)
     for i in range(n):
         par = int(model.parent[i])
         if par < 0:
@@ -39,15 +42,24 @@ def fk(model: RobotModel, q):
             pp = jnp.zeros(3, dtype=q.dtype)
         else:
             Rp, pp = Rs[par], ps[par]
-        Ro = Rp @ jnp.asarray(model.X_tree_R[i], dtype=q.dtype)
-        po = pp + Rp @ jnp.asarray(model.X_tree_p[i], dtype=q.dtype)
+        # constant joint-origin transforms: skip identity composes (common)
+        XR = model.X_tree_R[i]
+        if np.allclose(XR, eye3):
+            Ro = Rp
+        else:
+            Ro = mm3(Rp, jnp.asarray(XR, dtype=q.dtype))
+        Xp = model.X_tree_p[i]
+        if np.allclose(Xp, 0.0):
+            po = pp
+        else:
+            po = pp + mv3(Rp, jnp.asarray(Xp, dtype=q.dtype))
         ax = jnp.asarray(model.axis[i], dtype=q.dtype)
-        a_world = Ro @ ax
+        a_world = mv3(Ro, ax)
         if model.joint_type[i] == PRISMATIC:
             Ri = Ro
             pi = po + a_world * q[i]
         else:
-            Ri = Ro @ axis_angle_to_R(ax, q[i])
+            Ri = mm3(Ro, axis_angle_to_R(ax, q[i]))
             pi = po
         Rs.append(Ri)
         ps.append(pi)
@@ -61,7 +73,11 @@ def frame_pose(model: RobotModel, cache, name):
     """(p, R) of a named frame in world."""
     fr = model.frame(name)
     Rb, pb = cache["R"][fr.body], cache["p"][fr.body]
-    return pb + Rb @ jnp.asarray(fr.p, dtype=pb.dtype), Rb @ jnp.asarray(fr.R, dtype=pb.dtype)
+    p = pb if np.allclose(fr.p, 0.0) else \
+        pb + mv3(Rb, jnp.asarray(fr.p, dtype=pb.dtype))
+    R = Rb if np.allclose(fr.R, np.eye(3)) else \
+        mm3(Rb, jnp.asarray(fr.R, dtype=pb.dtype))
+    return p, R
 
 
 def point_jacobian(model: RobotModel, cache, point, body):

@@ -56,17 +56,33 @@ def rot_z(a):
 
 
 def axis_angle_to_R(axis, angle):
-    """Rodrigues formula; axis must be unit."""
-    K = skew(axis)
-    s = jnp.sin(angle)[..., None, None]
-    c = jnp.cos(angle)[..., None, None]
-    I = jnp.eye(3, dtype=K.dtype)
-    return I + s * K + (1.0 - c) * (K @ K)
+    """Rodrigues formula; axis must be unit. Fully unrolled (K^2 = aa^T - I
+    for unit axes) — batched 3x3 dot_generals are slow on TPU."""
+    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+    s = jnp.sin(angle)
+    c = jnp.cos(angle)
+    C = 1.0 - c
+    return jnp.stack([
+        jnp.stack([c + C * ax * ax, C * ax * ay - s * az,
+                   C * ax * az + s * ay], -1),
+        jnp.stack([C * ay * ax + s * az, c + C * ay * ay,
+                   C * ay * az - s * ax], -1),
+        jnp.stack([C * az * ax - s * ay, C * az * ay + s * ax,
+                   c + C * az * az], -1)], -2)
 
 
 def euler_zyx_to_R(zyx):
-    """zyx = (yaw, pitch, roll) -> R = Rz(yaw) Ry(pitch) Rx(roll)."""
-    return rot_z(zyx[..., 0]) @ rot_y(zyx[..., 1]) @ rot_x(zyx[..., 2])
+    """zyx = (yaw, pitch, roll) -> R = Rz(yaw) Ry(pitch) Rx(roll).
+    Closed form (no 3x3 matmul chain)."""
+    cz, sz = jnp.cos(zyx[..., 0]), jnp.sin(zyx[..., 0])
+    cy, sy = jnp.cos(zyx[..., 1]), jnp.sin(zyx[..., 1])
+    cx, sx = jnp.cos(zyx[..., 2]), jnp.sin(zyx[..., 2])
+    return jnp.stack([
+        jnp.stack([cz * cy, cz * sy * sx - sz * cx,
+                   cz * sy * cx + sz * sx], -1),
+        jnp.stack([sz * cy, sz * sy * sx + cz * cx,
+                   sz * sy * cx - cz * sx], -1),
+        jnp.stack([-sy, cy * sx, cy * cx], -1)], -2)
 
 
 def R_to_euler_zyx(R):
@@ -93,7 +109,8 @@ def euler_zyx_rate_to_omega_world_matrix(zyx):
 
 
 def omega_world_to_euler_zyx_rate_matrix(zyx):
-    return jnp.linalg.inv(euler_zyx_rate_to_omega_world_matrix(zyx))
+    from .smallmat import inv3
+    return inv3(euler_zyx_rate_to_omega_world_matrix(zyx))
 
 
 def quat_to_R(q):

@@ -115,7 +115,8 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
              ms: ModeSchedule, W_warm, X_warm, warm_shift,
              cold) -> MpcPolicy:
     """One MPC solve (pure function; jit once, call every cycle)."""
-    dynamics, stage_cost, final_cost, input_of, stage_qz, final_qz = ocp
+    (dynamics, stage_cost, final_cost, input_of, stage_qz, final_qz,
+     cost_and_dyn) = ocp
     params = make_node_data(ms, target, x, t, cfg)
 
     node_data = (params.t_nodes[:-1], params.contact_flags[:-1],
@@ -127,6 +128,7 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
     fc = lambda fd, xx: final_cost(fd, xx, target)
     sq = lambda kd, xx, ww: stage_qz(kd[0], kd[1], kd[2], xx, ww, target)
     fq = lambda fd, xx: final_qz(fd, xx, target)
+    cd = lambda kd, xx, ww: cost_and_dyn(kd[0], kd[1], kd[2], xx, ww, target)
 
     # QMInitializer equivalent (reference qm_interface/src/initialization/
     # QMInitializer.cpp:18-41): input = weight-compensating contact forces
@@ -141,7 +143,8 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
     X0 = jnp.where(cold, X_init,
                    shift_warm_start(X_warm, warm_shift, cfg.mpc.dt))
     sol = sqp_solve(dyn, sc, fc, node_data, final_data, params.x0, X0, W0,
-                    settings, stage_quad=sq, final_quad=fq)
+                    settings, stage_quad=sq, final_quad=fq,
+                    cost_and_dynamics=cd)
 
     U = jax.vmap(input_of)(params.t_nodes[:-1], params.contact_flags[:-1],
                            params.swing_zdot[:-1], sol.X[:-1], sol.W)

@@ -60,9 +60,11 @@ def _foot_jacobians(model: RobotModel, q):
 
 
 def _damped_solve(A, b):
-    """x with A x ~= b for (possibly singular) 3x3 A: A^T(AA^T + eps I)^-1 b."""
-    AAt = A @ A.T + _DAMP * jnp.eye(3, dtype=A.dtype)
-    return A.T @ jnp.linalg.solve(AAt, b)
+    """x with A x ~= b for (possibly singular) 3x3 A: A^T(AA^T + eps I)^-1 b.
+    Unrolled Cramer solve — batched LU on (...,3,3) is slow on TPU."""
+    from ..models.smallmat import mm3, mtv3, solve3
+    AAt = mm3(A, jnp.swapaxes(A, -1, -2)) + _DAMP * jnp.eye(3, dtype=A.dtype)
+    return mtv3(A, solve3(AAt, b))
 
 
 def input_parameterization(model: RobotModel, info: C.CentroidalInfo,
@@ -81,7 +83,7 @@ def input_parameterization(model: RobotModel, info: C.CentroidalInfo,
 
     # stance: u_leg = -Jl^-1 Jb base_dot  (damped)
     rhs = -jnp.einsum("fij,j->fi", Jb, base_dot)                 # (4,3)
-    u_stance = jax.vmap(_damped_solve)(Jl, rhs)                  # (4,3)
+    u_stance = _damped_solve(Jl, rhs)          # broadcasts over the 4 feet
 
     # swing: a.u_leg = b with a = z-row of Jl, b = zdot_ref - z-row(Jb).base_dot
     a = Jl[:, 2, :]                                              # (4,3)

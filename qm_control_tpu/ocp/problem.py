@@ -101,6 +101,15 @@ def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig):
         u = input_of(t, flags, zdot, x, w)
         return dt * stage_l(t, x, u, target, flags)
 
+    def cost_and_dynamics(t, flags, zdot, x, w, target: TargetTrajectory):
+        """Fused stage cost + next state: evaluates the (FK-heavy) input
+        reparameterization ONCE — the solver's merit needs both."""
+        u = input_of(t, flags, zdot, x, w)
+        c = dt * stage_l(t, x, u, target, flags)
+        k1 = flow(x, u)
+        k2 = flow(x + 0.5 * dt * k1, u)
+        return c, x + dt * k2
+
     def final_cost(t, x, target: TargetTrajectory):
         return final_l(t, x, target)
 
@@ -128,4 +137,4 @@ def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig):
         return final_q(t, x, target)
 
     return (dynamics, stage_cost, final_cost, input_of,
-            stage_quadratize, final_quadratize)
+            stage_quadratize, final_quadratize, cost_and_dynamics)

@@ -37,7 +37,10 @@ class SqpSettings(NamedTuple):
     num_iterations: int = 1          # task.info sqp.sqpIteration
     reg: float = 1e-5                # Levenberg shift on Quu
     merit_nu: float = 1e4            # L1 defect penalty in the merit
-    alphas: tuple = (1.0, 0.6, 0.35, 0.2, 0.1, 0.05, 0.01)
+    # 4 parallel step-length candidates (each costs one full merit
+    # evaluation; 4 covers warm-started MPC well — maxStepLength 1.0,
+    # minStepLength 1e-2 per the reference line-search bounds)
+    alphas: tuple = (1.0, 0.5, 0.15, 0.03)
 
 
 class SqpSolution(NamedTuple):
@@ -51,7 +54,8 @@ class SqpSolution(NamedTuple):
 
 def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
               x0, X_init, W_init, settings: SqpSettings = SqpSettings(),
-              stage_quad=None, final_quad=None) -> SqpSolution:
+              stage_quad=None, final_quad=None,
+              cost_and_dynamics=None) -> SqpSolution:
     """Minimize sum_k l_k(x_k, w_k) + lf(x_N)  s.t.  x_{k+1} = f_k(x_k, w_k),
     x_0 = x0, starting from the (possibly infeasible) iterate (X_init, W_init).
 
@@ -78,6 +82,10 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
             lfun = lambda xx: final_cost(fd, xx)
             return lfun(x), jax.grad(lfun)(x), jax.jacfwd(jax.grad(lfun))(x)
 
+    if cost_and_dynamics is None:
+        def cost_and_dynamics(kd, x, w):
+            return stage_cost(kd, x, w), dynamics(kd, x, w)
+
     def eval_costs(X, W):
         costs = jax.vmap(stage_cost)(node_data, X[:-1], W)
         return jnp.sum(costs) + final_cost(final_data, X[-1])
@@ -87,8 +95,12 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
         return f - X[1:]                                  # (N, nx)
 
     def merit(X, W):
-        d = eval_defects(X, W)
-        return eval_costs(X, W) + nu * jnp.sum(jnp.abs(d)), d
+        # fused: one pass computes stage costs AND next states (shares
+        # the FK-heavy input reparameterization)
+        costs, f = jax.vmap(cost_and_dynamics)(node_data, X[:-1], W)
+        d = f - X[1:]
+        total = jnp.sum(costs) + final_cost(final_data, X[-1])
+        return total + nu * jnp.sum(jnp.abs(d)), d
 
     def linearize(X, W):
         def node(kd, x, w):
@@ -99,24 +111,36 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
         return jax.vmap(node)(node_data, X[:-1], W)
 
     def backward(A, B, lx, lu, lxx, luu, lux, d, VxN, VxxN):
+        # contraction-unrolled matmuls + unrolled Cholesky: batched 30x30
+        # dot_generals/LU pad to 128 on the MXU (~1% efficiency); the
+        # unrolled forms run as fused elementwise VPU work (models/smallmat)
+        from ..models.smallmat import (mm_unrolled, mtm_unrolled,
+                                       mtv_unrolled, mv_unrolled,
+                                       spd_solve_unrolled)
+
         def bstep(carry, inp):
             Vx, Vxx = carry
             A, B, lx, lu, lxx, luu, lux, d = inp
             # affine (defect) term: value gradient evaluated at x' + d
-            Vxd = Vx + Vxx @ d
-            Qx = lx + A.T @ Vxd
-            Qu = lu + B.T @ Vxd
-            VA = Vxx @ A
-            Qxx = lxx + A.T @ VA
-            Quu = luu + B.T @ (Vxx @ B)
-            Qux = lux + B.T @ VA
-            Quu_reg = 0.5 * (Quu + Quu.T) + reg * jnp.eye(nw, dtype=Quu.dtype)
-            kK = jnp.linalg.solve(Quu_reg,
-                                  jnp.concatenate([Qu[:, None], Qux], axis=1))
-            kff, Kfb = -kK[:, 0], -kK[:, 1:]
-            Vx_new = Qx + Kfb.T @ (Quu @ kff) + Kfb.T @ Qu + Qux.T @ kff
-            Vxx_new = Qxx + Kfb.T @ Quu @ Kfb + Kfb.T @ Qux + Qux.T @ Kfb
-            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            Vxd = Vx + mv_unrolled(Vxx, d)
+            Qx = lx + mtv_unrolled(A, Vxd)
+            Qu = lu + mtv_unrolled(B, Vxd)
+            VA = mm_unrolled(Vxx, A)
+            Qxx = lxx + mtm_unrolled(A, VA)
+            Quu = luu + mtm_unrolled(B, mm_unrolled(Vxx, B))
+            Qux = lux + mtm_unrolled(B, VA)
+            Quu_reg = 0.5 * (Quu + jnp.swapaxes(Quu, -1, -2)) \
+                + reg * jnp.eye(nw, dtype=Quu.dtype)
+            kK = spd_solve_unrolled(
+                Quu_reg, jnp.concatenate([Qu[..., None], Qux], axis=-1))
+            kff, Kfb = -kK[..., 0], -kK[..., 1:]
+            Quu_k = mv_unrolled(Quu, kff)
+            Vx_new = Qx + mtv_unrolled(Kfb, Quu_k) + mtv_unrolled(Kfb, Qu) \
+                + mtv_unrolled(Qux, kff)
+            KQux = mtm_unrolled(Kfb, Qux)
+            Vxx_new = Qxx + mtm_unrolled(Kfb, mm_unrolled(Quu, Kfb)) \
+                + KQux + jnp.swapaxes(KQux, -1, -2)
+            Vxx_new = 0.5 * (Vxx_new + jnp.swapaxes(Vxx_new, -1, -2))
             return (Vx_new, Vxx_new), (kff, Kfb)
         (_, _), (kffs, Kfbs) = jax.lax.scan(
             bstep, (VxN, VxxN), (A, B, lx, lu, lxx, luu, lux, d),
@@ -125,10 +149,12 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
 
     def linear_forward(X, W, A, B, d, kffs, Kfbs, alpha):
         """dx' = A dx + B dw + alpha d;  dw = alpha k + K dx."""
+        from ..models.smallmat import mv_unrolled
+
         def step(dx, inp):
             A, B, dk, kff, Kfb = inp
-            dw = alpha * kff + Kfb @ dx
-            dx_next = A @ dx + B @ dw + alpha * dk
+            dw = alpha * kff + mv_unrolled(Kfb, dx)
+            dx_next = mv_unrolled(A, dx) + mv_unrolled(B, dw) + alpha * dk
             return dx_next, (dx, dw)
         dxN, (dX, dW) = jax.lax.scan(
             step, jnp.zeros(nx, dtype=x0.dtype), (A, B, d, kffs, Kfbs))
@@ -136,9 +162,8 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
         return X + dX, W + dW
 
     def iteration(carry, _):
-        X, W, m_cur = carry
+        X, W, m_cur, d = carry
         A, B, lx, lu, lxx, luu, lux = linearize(X, W)
-        d = eval_defects(X, W)
         _, VxN, VxxN = final_quad(final_data, X[-1])
         VxxN = 0.5 * (VxxN + VxxN.T)
         kffs, Kfbs = backward(A, B, lx, lu, lxx, luu, lux, d, VxN, VxxN)
@@ -146,23 +171,24 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
 
         def candidate(alpha):
             Xc, Wc = linear_forward(X, W, A, B, d, kffs, Kfbs, alpha)
-            mc, _ = merit(Xc, Wc)
-            return Xc, Wc, mc
-        Xc, Wc, mc = jax.vmap(candidate)(alphas)
+            mc, dc = merit(Xc, Wc)
+            return Xc, Wc, mc, dc
+        Xc, Wc, mc, dc = jax.vmap(candidate)(alphas)
         mc = jnp.where(jnp.isfinite(mc), mc, jnp.inf)
         best = jnp.argmin(mc)
         improved = mc[best] < m_cur
         X_new = jnp.where(improved, Xc[best], X)
         W_new = jnp.where(improved, Wc[best], W)
+        d_new = jnp.where(improved, dc[best], d)
         m_new = jnp.minimum(mc[best], m_cur)
         alpha_used = jnp.where(improved, alphas[best], 0.0)
-        return (X_new, W_new, m_new), (Kfbs, alpha_used)
+        return (X_new, W_new, m_new, d_new), (Kfbs, alpha_used)
 
     X0 = X_init.at[0].set(x0)
-    m0, _ = merit(X0, W_init)
-    (X, W, _), (Kfbs, alpha) = jax.lax.scan(
-        iteration, (X0, W_init, m0), None, length=settings.num_iterations)
-    d_final = eval_defects(X, W)
+    m0, d0 = merit(X0, W_init)
+    (X, W, _, d_final), (Kfbs, alpha) = jax.lax.scan(
+        iteration, (X0, W_init, m0, d0), None,
+        length=settings.num_iterations)
     return SqpSolution(X=X, W=W, cost=eval_costs(X, W),
                        defect=jnp.max(jnp.abs(d_final)),
                        K=jax.tree_util.tree_map(lambda a: a[-1], Kfbs),
