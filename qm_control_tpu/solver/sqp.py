@@ -41,6 +41,11 @@ class SqpSettings(NamedTuple):
     # evaluation; 4 covers warm-started MPC well — maxStepLength 1.0,
     # minStepLength 1e-2 per the reference line-search bounds)
     alphas: tuple = (1.0, 0.5, 0.15, 0.03)
+    # True: contraction-unrolled matmuls + masked Cholesky in the Riccati
+    # sweep — lane-parallel over a scenario BATCH (7.7x throughput at
+    # B=256). False: plain dot_general/linalg — fewer, bigger sequential
+    # ops, better for single-scenario latency (B=1 real-time mode).
+    unrolled_ops: bool = True
 
 
 class SqpSolution(NamedTuple):
@@ -114,9 +119,17 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
         # contraction-unrolled matmuls + unrolled Cholesky: batched 30x30
         # dot_generals/LU pad to 128 on the MXU (~1% efficiency); the
         # unrolled forms run as fused elementwise VPU work (models/smallmat)
-        from ..models.smallmat import (mm_unrolled, mtm_unrolled,
-                                       mtv_unrolled, mv_unrolled,
-                                       spd_solve_unrolled)
+        if settings.unrolled_ops:
+            from ..models.smallmat import (mm_unrolled, mtm_unrolled,
+                                           mtv_unrolled, mv_unrolled,
+                                           spd_solve_unrolled)
+        else:
+            mm_unrolled = lambda X, Y: X @ Y
+            mtm_unrolled = lambda X, Y: jnp.swapaxes(X, -1, -2) @ Y
+            mv_unrolled = lambda X, v: (X @ v[..., None])[..., 0]
+            mtv_unrolled = lambda X, v: (jnp.swapaxes(X, -1, -2)
+                                         @ v[..., None])[..., 0]
+            spd_solve_unrolled = jnp.linalg.solve
 
         def bstep(carry, inp):
             Vx, Vxx = carry
@@ -149,7 +162,10 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
 
     def linear_forward(X, W, A, B, d, kffs, Kfbs, alpha):
         """dx' = A dx + B dw + alpha d;  dw = alpha k + K dx."""
-        from ..models.smallmat import mv_unrolled
+        if settings.unrolled_ops:
+            from ..models.smallmat import mv_unrolled
+        else:
+            mv_unrolled = lambda M, v: (M @ v[..., None])[..., 0]
 
         def step(dx, inp):
             A, B, dk, kff, Kfb = inp

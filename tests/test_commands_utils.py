@@ -121,6 +121,11 @@ def test_mrt_async_interface(model):
     ms = GaitSchedule(GAIT_LIBRARY["stance"]).mode_schedule(0.0, 5.0)
     x0 = jnp.asarray(s[:30], dtype=jnp.float32).at[8].set(0.38)
 
+    # pre-warm the jit (first CPU compile takes minutes; the test verifies
+    # the ASYNC interface, not compile speed)
+    solver.solve(0.0, x0, target, ms)
+    solver.reset()
+
     mrt.set_current_observation(0.0, x0, target, ms)
     mrt.start()
     try:
