@@ -69,21 +69,11 @@ def base_velocity_from_momentum(info: CentroidalInfo, x):
     """[pdot_base(3); zyx_rates(3)] from normalized momentum (SRBD Ab^-1).
 
     Reference equivalent: OCS2 getFloatingBaseCentroidalStateFromRbdModel /
-    the base-pose rows of the centroidal flow map.
-    """
-    from .smallmat import mm3, mv3, solve3
-    zyx = x[9:12]
-    R = euler_zyx_to_R(zyx)
-    E = euler_zyx_rate_to_omega_world_matrix(zyx)
-    I_w = mm3(mm3(R, jnp.asarray(info.I_com_base, dtype=x.dtype)),
-              jnp.swapaxes(R, -1, -2))
-    v_com = x[0:3]
-    L = info.mass * x[3:6]
-    omega = solve3(I_w, L)
-    r_w = mv3(R, jnp.asarray(info.r_com_base, dtype=x.dtype))
-    p_base_dot = v_com - jnp.cross(omega, r_w)
-    zyx_dot = solve3(E, omega)
-    return jnp.concatenate([p_base_dot, zyx_dot])
+    the base-pose rows of the centroidal flow map. Scalar-structured
+    implementation (models/chainfk.py) — called 3x per dynamics
+    evaluation in the solver, so graph size matters."""
+    from . import chainfk
+    return chainfk.base_velocity_from_momentum(info, x)
 
 
 def com_position_srbd(info: CentroidalInfo, x):

@@ -64,7 +64,10 @@ def potential_energy(model: RobotModel, q):
 
 
 def gravity_vector(model: RobotModel, q):
-    return jax.grad(partial(potential_energy, model))(q)
+    # jacfwd, not grad: reverse-mode through the unrolled FK chain emits
+    # scatter-heavy HLO that XLA:CPU compiles ~20x slower (measured 37 s
+    # vs 2 s for this graph); forward mode vmaps one jvp body instead.
+    return jax.jacfwd(partial(potential_energy, model))(q)
 
 
 def kinetic_energy(model: RobotModel, q, v):
@@ -74,7 +77,10 @@ def kinetic_energy(model: RobotModel, q, v):
 def nonlinear_effects(model: RobotModel, q, v):
     """h(q,v) = C(q,v)v + g(q)  (reference: pinocchio::nonLinearEffects)."""
     _, Mdot = jax.jvp(partial(mass_matrix, model), (q,), (v,))
-    dTdq = jax.grad(lambda qq: kinetic_energy(model, qq, v))(q)
+    # forward-mode gradient (see gravity_vector): same values, but the
+    # whole nonlinear_effects graph compiles in ~10 s instead of ~147 s
+    # on XLA:CPU (the CI/dryrun platform).
+    dTdq = jax.jacfwd(lambda qq: kinetic_energy(model, qq, v))(q)
     return Mdot @ v - dTdq + gravity_vector(model, q)
 
 

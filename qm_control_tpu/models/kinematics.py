@@ -24,14 +24,59 @@ from .spec import PRISMATIC, RobotModel
 
 
 def fk(model: RobotModel, q):
-    """Forward kinematics for every body.
+    """Forward kinematics for every body, as a lax.scan down the tree.
 
     Returns dict with:
       R:  (n,3,3) body orientations (world)
       p:  (n,3)   body frame origins (world)
       a:  (n,3)   joint axes (world)
       o:  (n,3)   joint origins (world)  == body origins for revolute chains
+
+    Bodies are stored in topological order (parent[i] < i), so one scan
+    step per body suffices; the carry holds the already-computed world
+    poses and each step gathers its parent's. A scan (vs the Python-
+    unrolled chain in fk_unrolled) keeps every AD transform of FK
+    scan-sized — jvp/jacfwd of this function trace and compile in ~0.1 s
+    where the unrolled chain took seconds (and minutes of XLA:CPU time
+    in the WBC's nested-derivative graphs).
     """
+    n = model.n_bodies
+    dtype = q.dtype
+    XR = jnp.asarray(model.X_tree_R, dtype=dtype)          # (n,3,3)
+    Xp = jnp.asarray(model.X_tree_p, dtype=dtype)          # (n,3)
+    ax = jnp.asarray(model.axis, dtype=dtype)              # (n,3)
+    rev = jnp.asarray(model.joint_type == 1, dtype=dtype)  # (n,)
+    par = jnp.asarray(model.parent, dtype=jnp.int32)       # (n,)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def step(carry, inp):
+        R_all, p_all = carry
+        i, pi, XRi, Xpi, axi, ri, qi = inp
+        root = (pi < 0).astype(dtype)
+        pj = jnp.maximum(pi, 0)
+        Rp = (1.0 - root) * R_all[pj] + root * jnp.eye(3, dtype=dtype)
+        pp = (1.0 - root) * p_all[pj]
+        Ro = mm3(Rp, XRi)
+        po = pp + mv3(Rp, Xpi)
+        a_w = mv3(Ro, axi)
+        # branch-free joint action: revolute rotates by q_i (prismatic
+        # rotates by 0), prismatic translates by q_i along the axis
+        Ri = mm3(Ro, axis_angle_to_R(axi, qi * ri))
+        p_i = po + (1.0 - ri) * a_w * qi
+        R_all = R_all.at[i].set(Ri)
+        p_all = p_all.at[i].set(p_i)
+        return (R_all, p_all), (Ri, p_i, a_w, po)
+
+    (_, _), (R, p, a, o) = jax.lax.scan(
+        step, (jnp.zeros((n, 3, 3), dtype=dtype),
+               jnp.zeros((n, 3), dtype=dtype)),
+        (idx, par, XR, Xp, ax, rev, q))
+    return dict(R=R, p=p, a=a, o=o)
+
+
+def fk_unrolled(model: RobotModel, q):
+    """Python-unrolled FK (flat graph, no scan) — kept for latency
+    experiments on TPU; semantics identical to fk()."""
     n = model.n_bodies
     Rs, ps, aw, ow = [], [], [], []
     eye3 = np.eye(3)
@@ -123,11 +168,197 @@ def all_body_jacobians(model: RobotModel, cache):
     return jnp.swapaxes(J, 1, 2)                          # (b,6,k)
 
 
-def contact_positions(model: RobotModel, q):
-    """(4,3) world positions of the contact frames (LF, RF, LH, RH)."""
+def frame_kinematics(model: RobotModel, q):
+    """One FK pass -> every frame quantity the WBC needs:
+
+      (Jc (12,nq), base_J (6,nq), ee_J (6,nq), feet_p (4,3),
+       ee_p (3,), ee_R (3,3))
+
+    Used with a single jax.jvp to get all the J-dot terms at once instead
+    of re-deriving FK per frame (reference equivalent: one Pinocchio
+    forwardKinematics + per-frame getFrameJacobian, WbcBase.cpp:134-191).
+    """
+    from .spec import CONTACT_FRAMES, EE_FRAME
     cache = fk(model, q)
-    from .spec import CONTACT_FRAMES
-    return jnp.stack([frame_pose(model, cache, f)[0] for f in CONTACT_FRAMES])
+    feet, jc_rows = [], []
+    for f in CONTACT_FRAMES:
+        fr = model.frame(f)
+        p, _ = frame_pose(model, cache, f)
+        feet.append(p)
+        jc_rows.append(point_jacobian(model, cache, p, fr.body)[:3])
+    base_fr = model.frame("base")
+    base_p, _ = frame_pose(model, cache, "base")
+    base_J = point_jacobian(model, cache, base_p, base_fr.body)
+    ee_fr = model.frame(EE_FRAME)
+    ee_p, ee_R = frame_pose(model, cache, EE_FRAME)
+    ee_J = point_jacobian(model, cache, ee_p, ee_fr.body)
+    return (jnp.concatenate(jc_rows, axis=0), base_J, ee_J,
+            jnp.stack(feet), ee_p, ee_R)
+
+
+class _LegStatic:
+    """Per-leg chain constants in CONTACT_FRAMES order (LF, RF, LH, RH):
+    the 4 leg chains are structurally identical (HAA, HFE, KFE revolute
+    joints hanging off the base), so FK vectorizes over the leg axis —
+    one lane-parallel chain of depth 3 instead of 12 scalar bodies.
+    This is simultaneously the TPU-fast layout (VPU lanes over legs ×
+    batch) and the trace-fast layout (~1/4 the primitives)."""
+
+    def __init__(self, model: RobotModel):
+        from .spec import (CONTACT_FRAMES, CONTACT_LEG_JOINTS, NUM_BASE,
+                           REVOLUTE)
+        XR = np.zeros((4, 3, 3, 3))
+        Xp = np.zeros((4, 3, 3))
+        ax = np.zeros((4, 3, 3))
+        qidx = np.zeros((4, 3), dtype=np.int32)
+        foot_p = np.zeros((4, 3))
+        for f, fname in enumerate(CONTACT_FRAMES):
+            joints = CONTACT_LEG_JOINTS[f]
+            for d, j in enumerate(joints):
+                b = NUM_BASE + j
+                assert model.joint_type[b] == REVOLUTE
+                expect_parent = NUM_BASE - 1 if d == 0 else NUM_BASE + joints[d - 1]
+                assert int(model.parent[b]) == expect_parent, (fname, d)
+                XR[f, d] = model.X_tree_R[b]
+                Xp[f, d] = model.X_tree_p[b]
+                ax[f, d] = model.axis[b]
+                qidx[f, d] = b
+            fr = model.frame(fname)
+            assert fr.body == NUM_BASE + joints[2]
+            assert np.allclose(fr.R, np.eye(3))
+            foot_p[f] = fr.p
+        self.XR, self.Xp, self.ax = XR, Xp, ax
+        self.qidx, self.foot_p = qidx, foot_p
+
+
+_LEG_STATIC = {}
+
+
+def _leg_static(model: RobotModel) -> _LegStatic:
+    if id(model) not in _LEG_STATIC:
+        _LEG_STATIC[id(model)] = _LegStatic(model)
+    return _LEG_STATIC[id(model)]
+
+
+def leg_chain_fk(model: RobotModel, q):
+    """Vectorized FK of the 4 leg chains.
+
+    Returns (p_feet (4,3), a_w (4,3,3) world joint axes [leg, depth, xyz],
+    o_w (4,3,3) world joint origins, R_base, p_base)."""
+    from .rotations import euler_zyx_to_R
+    st = _leg_static(model)
+    dtype = q.dtype
+    Rb = euler_zyx_to_R(q[3:6])
+    pb = q[0:3]
+    qleg = q[jnp.asarray(st.qidx.reshape(-1))].reshape(4, 3)
+    R = jnp.broadcast_to(Rb, (4, 3, 3))
+    p = jnp.broadcast_to(pb, (4, 3))
+    a_ws, o_ws = [], []
+    for d in range(3):
+        XRd = jnp.asarray(st.XR[:, d], dtype=dtype)       # (4,3,3)
+        Xpd = jnp.asarray(st.Xp[:, d], dtype=dtype)       # (4,3)
+        axd = jnp.asarray(st.ax[:, d], dtype=dtype)       # (4,3)
+        Ro = mm3(R, XRd)
+        po = p + mv3(R, Xpd)
+        a_ws.append(mv3(Ro, axd))
+        o_ws.append(po)
+        R = mm3(Ro, axis_angle_to_R(axd, qleg[:, d]))
+        p = po
+    p_feet = p + mv3(R, jnp.asarray(st.foot_p, dtype=dtype))
+    return p_feet, jnp.stack(a_ws, axis=1), jnp.stack(o_ws, axis=1), Rb, pb
+
+
+def foot_kinematics(model: RobotModel, q):
+    """(p_feet (4,3), Jb (4,3,6), Jl (4,3,3)) in one vectorized pass:
+    foot positions plus each foot's linear Jacobian split into base
+    columns and own-leg columns (the only Jacobian blocks that are
+    nonzero). Closed-form columns a_k x (p - o_k) — no autodiff, no
+    full-tree FK."""
+    p_feet, a_w, o_w, Rb, pb = leg_chain_fk(model, q)
+    # own-leg columns (depth d): a_d x (p_foot - o_d)
+    Jl = jnp.stack([jnp.cross(a_w[:, d], p_feet - o_w[:, d])
+                    for d in range(3)], axis=-1)           # (4,3,3)
+    # base columns: 3 prismatic world-aligned (identity), then revolute
+    # z, y, x at the base origin with axes z, Rz y, Rz Ry x
+    dtype = q.dtype
+    cz, sz = jnp.cos(q[3]), jnp.sin(q[3])
+    cy, sy = jnp.cos(q[4]), jnp.sin(q[4])
+    zero = jnp.zeros_like(cz)
+    az = jnp.stack([zero, zero, jnp.ones_like(cz)])
+    ay = jnp.stack([-sz, cz, zero])
+    ax_ = jnp.stack([cz * cy, sz * cy, -sy])
+    r = p_feet - pb                                        # (4,3)
+    rot_cols = jnp.stack([jnp.cross(az, r), jnp.cross(ay, r),
+                          jnp.cross(ax_, r)], axis=-1)     # (4,3,3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (4, 3, 3))
+    Jb = jnp.concatenate([eye, rot_cols], axis=-1)         # (4,3,6)
+    return p_feet, Jb, Jl
+
+
+class _ArmStatic:
+    """Arm chain constants: base -> 6 arm joints -> EE frame."""
+
+    def __init__(self, model: RobotModel):
+        from .spec import (EE_FRAME, NUM_BASE, NUM_LEG_JOINTS, REVOLUTE)
+        first = NUM_BASE + NUM_LEG_JOINTS
+        bodies = list(range(first, first + 6))
+        assert int(model.parent[first]) == NUM_BASE - 1
+        for b in bodies[1:]:
+            assert int(model.parent[b]) == b - 1
+        assert all(model.joint_type[b] == REVOLUTE for b in bodies)
+        self.XR = model.X_tree_R[bodies]
+        self.Xp = model.X_tree_p[bodies]
+        self.ax = model.axis[bodies]
+        self.qidx = np.asarray(bodies, dtype=np.int32)
+        fr = model.frame(EE_FRAME)
+        assert fr.body == bodies[-1]
+        self.ee_p, self.ee_R = fr.p, fr.R
+
+
+_ARM_STATIC = {}
+
+
+def _arm_static(model: RobotModel) -> _ArmStatic:
+    if id(model) not in _ARM_STATIC:
+        _ARM_STATIC[id(model)] = _ArmStatic(model)
+    return _ARM_STATIC[id(model)]
+
+
+def ee_chain_pose(model: RobotModel, q):
+    """(p_ee, R_ee) via the base->arm chain only (flat unrolled depth-6
+    chain; feet don't affect the EE). The fast path for the MPC's EE
+    cost/residual (reference: OCS2 PinocchioEndEffectorKinematicsCppAd,
+    QMInterface.cpp:363-379)."""
+    from .rotations import euler_zyx_to_R
+    st = _arm_static(model)
+    dtype = q.dtype
+    R = euler_zyx_to_R(q[3:6])
+    p = q[0:3]
+    qa = q[jnp.asarray(st.qidx)]
+    for d in range(6):
+        Ro = mm3(R, jnp.asarray(st.XR[d], dtype=dtype))
+        p = p + mv3(R, jnp.asarray(st.Xp[d], dtype=dtype))
+        axd = jnp.asarray(st.ax[d], dtype=dtype)
+        R = mm3(Ro, axis_angle_to_R(axd, qa[d]))
+    p_ee = p if np.allclose(st.ee_p, 0.0) else \
+        p + mv3(R, jnp.asarray(st.ee_p, dtype=dtype))
+    R_ee = R if np.allclose(st.ee_R, np.eye(3)) else \
+        mm3(R, jnp.asarray(st.ee_R, dtype=dtype))
+    return p_ee, R_ee
+
+
+def contact_positions(model: RobotModel, q):
+    """(4,3) world positions of the contact frames (LF, RF, LH, RH).
+
+    Uses the scalar-structured specialized leg chains (models/chainfk.py)
+    when the model matches the aliengo leg structure; falls back to the
+    generic lane-parallel chain otherwise."""
+    from . import chainfk
+    try:
+        chainfk.leg_chain(model)
+    except AssertionError:
+        return leg_chain_fk(model, q)[0]
+    return chainfk.contact_positions(model, q)
 
 
 def stacked_contact_jacobian(model: RobotModel, q):

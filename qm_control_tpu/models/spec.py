@@ -158,6 +158,70 @@ def load_model(path: str = DEFAULT_MODEL_JSON) -> RobotModel:
     )
 
 
+def submodel(model: RobotModel, bodies, frame_names):
+    """Reindexed RobotModel over an ancestor-closed body subset.
+
+    `bodies` must be in topological order (parent before child). Returns
+    (sub, q_idx) where q_idx are the generalized-coordinate indices of the
+    kept bodies in the full model — use q_sub = q[q_idx].
+
+    Purpose: the MPC stage functions only need the FEET (bodies 0-17: base
+    chain + 12 leg joints) and the ARM EE (base chain + 6 arm joints).
+    Running FK on a 12-18 body submodel with fk_unrolled keeps the traced
+    graph tiny (~200 primitives, no scan) — this is what makes the MPC
+    step trace in ~1 s instead of ~30 s and lets XLA fuse the whole chain.
+    """
+    bodies = list(bodies)
+    index = {b: i for i, b in enumerate(bodies)}
+    for b in bodies:
+        p = int(model.parent[b])
+        assert p < 0 or p in index, f"subset not ancestor-closed at body {b}"
+    sel = np.asarray(bodies)
+    parent = np.asarray([index[int(model.parent[b])]
+                         if int(model.parent[b]) >= 0 else -1
+                         for b in bodies], dtype=np.int32)
+    frames = {}
+    for name in frame_names:
+        fr = model.frames[name]
+        frames[name] = Frame(name, index[fr.body], fr.p, fr.R)
+    sub = RobotModel(
+        name=model.name + f"_sub{len(bodies)}", n_bodies=len(bodies),
+        joint_type=model.joint_type[sel], parent=parent,
+        X_tree_R=model.X_tree_R[sel], X_tree_p=model.X_tree_p[sel],
+        axis=model.axis[sel], mass=model.mass[sel], com=model.com[sel],
+        inertia=model.inertia[sel],
+        ancestor=model.ancestor[np.ix_(sel, sel)], frames=frames,
+        joint_lower=model.joint_lower, joint_upper=model.joint_upper,
+        joint_effort=model.joint_effort, joint_velocity=model.joint_velocity,
+        total_mass=model.total_mass)
+    return sub, sel
+
+
+_SUBMODEL_CACHE = {}
+
+
+def legs_submodel(model: RobotModel):
+    """(sub, q_idx): base chain + 12 leg joints, with the contact frames
+    and base frame. q_idx == arange(18) (legs are a prefix of the tree)."""
+    key = (id(model), "legs")
+    if key not in _SUBMODEL_CACHE:
+        _SUBMODEL_CACHE[key] = submodel(
+            model, range(NUM_BASE + NUM_LEG_JOINTS),
+            list(CONTACT_FRAMES) + [BASE_FRAME])
+    return _SUBMODEL_CACHE[key]
+
+
+def arm_submodel(model: RobotModel):
+    """(sub, q_idx): base chain + 6 arm joints, with the EE frame."""
+    key = (id(model), "arm")
+    if key not in _SUBMODEL_CACHE:
+        arm_bodies = list(range(NUM_BASE)) + list(
+            range(NUM_BASE + NUM_LEG_JOINTS, NUM_BASE + NUM_JOINTS))
+        _SUBMODEL_CACHE[key] = submodel(
+            model, arm_bodies, [EE_FRAME, BASE_FRAME])
+    return _SUBMODEL_CACHE[key]
+
+
 # default joint configuration (reference task.info:168-188 / reference.info)
 DEFAULT_JOINT_STATE = np.array([
     0.00, 0.80, -1.50,   # LF

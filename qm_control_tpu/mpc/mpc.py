@@ -115,8 +115,7 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
              ms: ModeSchedule, W_warm, X_warm, warm_shift,
              cold) -> MpcPolicy:
     """One MPC solve (pure function; jit once, call every cycle)."""
-    (dynamics, stage_cost, final_cost, input_of, stage_qz, final_qz,
-     cost_and_dyn) = ocp
+    dynamics, input_of = ocp.dynamics, ocp.input_of
     params = make_node_data(ms, target, x, t, cfg)
 
     node_data = (params.t_nodes[:-1], params.contact_flags[:-1],
@@ -124,11 +123,16 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
     final_data = params.t_nodes[-1]
 
     dyn = lambda kd, xx, ww: dynamics(kd[0], kd[1], kd[2], xx, ww)
-    sc = lambda kd, xx, ww: stage_cost(kd[0], kd[1], kd[2], xx, ww, target)
-    fc = lambda fd, xx: final_cost(fd, xx, target)
-    sq = lambda kd, xx, ww: stage_qz(kd[0], kd[1], kd[2], xx, ww, target)
-    fq = lambda fd, xx: final_qz(fd, xx, target)
-    cd = lambda kd, xx, ww: cost_and_dyn(kd[0], kd[1], kd[2], xx, ww, target)
+    sc = lambda kd, xx, ww: ocp.stage_cost(kd[0], kd[1], kd[2], xx, ww,
+                                           target)
+    fc = lambda fd, xx: ocp.final_cost(fd, xx, target)
+    sq = lambda kd, xx, ww: ocp.stage_quadratize(kd[0], kd[1], kd[2], xx,
+                                                 ww, target)
+    fq = lambda fd, xx: ocp.final_quadratize(fd, xx, target)
+    cd = lambda kd, xx, ww: ocp.cost_and_dynamics(kd[0], kd[1], kd[2], xx,
+                                                  ww, target)
+    sl = lambda kd, xx, ww: ocp.stage_linearize(kd[0], kd[1], kd[2], xx,
+                                                ww, target)
 
     # QMInitializer equivalent (reference qm_interface/src/initialization/
     # QMInitializer.cpp:18-41): input = weight-compensating contact forces
@@ -144,7 +148,7 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                    shift_warm_start(X_warm, warm_shift, cfg.mpc.dt))
     sol = sqp_solve(dyn, sc, fc, node_data, final_data, params.x0, X0, W0,
                     settings, stage_quad=sq, final_quad=fq,
-                    cost_and_dynamics=cd)
+                    cost_and_dynamics=cd, stage_linearize=sl)
 
     U = jax.vmap(input_of)(params.t_nodes[:-1], params.contact_flags[:-1],
                            params.swing_zdot[:-1], sol.X[:-1], sol.W)

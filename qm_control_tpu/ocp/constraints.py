@@ -46,17 +46,18 @@ class InputParam(NamedTuple):
 
 
 def _foot_jacobians(model: RobotModel, q):
-    """Per-foot linear Jacobian split: (4,3,6) base cols, (4,3,3) own-leg cols."""
-    cache = K.fk(model, q)
-    Jb, Jl = [], []
-    for i, fname in enumerate(CONTACT_FRAMES):
-        fr = model.frame(fname)
-        p, _ = K.frame_pose(model, cache, fname)
-        J = K.point_jacobian(model, cache, p, fr.body)[:3]       # (3, 24)
-        Jb.append(J[:, :NUM_BASE])
-        cols = [NUM_BASE + j for j in CONTACT_LEG_JOINTS[i]]
-        Jl.append(J[:, cols])
-    return jnp.stack(Jb), jnp.stack(Jl)
+    """Per-foot linear Jacobian split: (4,3,6) base cols, (4,3,3) own-leg
+    cols. Closed-form scalar-structured leg-chain kinematics (feet don't
+    depend on the arm) — see models.chainfk.foot_kinematics; generic
+    fallback for non-aliengo leg structures."""
+    from ..models import chainfk
+    try:
+        chainfk.leg_chain(model)
+    except AssertionError:
+        _, Jb, Jl = K.foot_kinematics(model, q)
+        return Jb, Jl
+    _, Jb, Jl = chainfk.foot_kinematics(model, q)
+    return Jb, Jl
 
 
 def _damped_solve(A, b):

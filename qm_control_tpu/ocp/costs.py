@@ -93,13 +93,23 @@ def tracking_cost(x, u, x_ref30, u_ref, Q_diag, R_full):
     return 0.5 * jnp.sum(Q_diag * dx * dx) + 0.5 * du @ (R_full @ du)
 
 
+def ee_pose(model: RobotModel, q):
+    """(p_ee, R_ee) via the base->arm chain only (feet don't affect the
+    EE) — scalar-structured chain (models/chainfk.py) with a generic
+    fallback."""
+    from ..models import chainfk
+    try:
+        chainfk.arm_chain(model)
+    except AssertionError:
+        return K.ee_chain_pose(model, q)
+    return chainfk.ee_pose(model, q)
+
+
 def ee_cost(model: RobotModel, x, p_ref, q_ref_wxyz, mu_pos, mu_ori):
     """Quadratic penalty on the 6-dim EE pose error (reference
     EndEffectorConstraint + QuadraticPenalty)."""
-    from ..models.spec import EE_FRAME
     q = C.state_to_q(x)
-    cache = K.fk(model, q)
-    p_ee, R_ee = K.frame_pose(model, cache, EE_FRAME)
+    p_ee, R_ee = ee_pose(model, q)
     from ..models.rotations import R_to_quat
     q_ee = R_to_quat(R_ee)
     e_pos = p_ee - p_ref
@@ -148,42 +158,36 @@ def arm_limit_cost(model: RobotModel, x, u, jcfg: JointLimitsConfig):
 def ee_residual(model: RobotModel, x, p_ref, q_ref_wxyz):
     """(6,) EE pose error residual [e_pos; e_ori] (EndEffectorConstraint
     getValue, reference :34-53)."""
-    from ..models.spec import EE_FRAME
     from ..models.rotations import R_to_quat
     q = C.state_to_q(x)
-    cache = K.fk(model, q)
-    p_ee, R_ee = K.frame_pose(model, cache, EE_FRAME)
+    p_ee, R_ee = ee_pose(model, q)
     q_ee = R_to_quat(R_ee)
     return jnp.concatenate([p_ee - p_ref,
                             quat_distance(q_ee, q_ref_wxyz)])
 
 
-def make_stage_quadratizer(model: RobotModel, info: C.CentroidalInfo,
-                           cfg: QmConfig):
-    """Gauss-Newton quadratic approximation of the stage cost in (x, u).
+def make_stage_quadratizer_parts(model: RobotModel, info: C.CentroidalInfo,
+                                 cfg: QmConfig):
+    """quad_xu(t, x, u, target, flags, e, Je) -> (L, Lx, Lu, Lxx, Luu, Lux)
+    where (e, Je) are the precomputed EE residual and its x-Jacobian.
 
-    Returns quad(t, x, u, target, flags) ->
-        (L, Lx(30), Lu(30), Lxx(30,30), Luu(30,30), Lux(30,30)).
-
-    Mirrors OCS2's term-wise getQuadraticApproximation: the tracking cost
-    is exactly quadratic; soft constraints contribute J' p'' J (+ exact
-    diagonal terms where the residual is linear). EE second derivatives of
-    the kinematics are dropped (the reference's EndEffectorConstraint is
-    declared ConstraintOrder::Linear, so OCS2 does the same).
+    Splitting the EE kinematics out lets the solver obtain (e, Je) from
+    the SAME jax.linearize pass that produces the dynamics A, B — no
+    second FK trace/evaluation (see ocp.problem.stage_linearize). All
+    remaining terms are analytic or tiny-graph autodiff with no FK.
     """
+    import jax
     Q_diag_np = np.asarray(cfg.cost.q_diag) * cfg.cost.q_scaling
     R_full_np = input_cost_weight(model, cfg.cost)
     mu_pos, mu_ori = cfg.cost.ee_mu_position, cfg.cost.ee_mu_orientation
     fcfg, jcfg = cfg.friction, cfg.joint_limits
 
-    def quad(t, x, u, target: TargetTrajectory, flags):
-        import jax
+    def quad_xu(t, x, u, target: TargetTrajectory, flags, e, Je):
         dtype = x.dtype
         Q = jnp.asarray(Q_diag_np, dtype=dtype)
         R = jnp.asarray(R_full_np, dtype=dtype)
         x_ref = interpolate_state(target, t)
         u_ref = C.weight_compensating_input(info, flags).astype(dtype)
-        p_ref, q_ref = interpolate_ee_pose(target, t)
 
         dx = x - x_ref[:30]
         du = u - u_ref
@@ -194,9 +198,7 @@ def make_stage_quadratizer(model: RobotModel, info: C.CentroidalInfo,
         Luu = R
         Lux = jnp.zeros((30, 30), dtype=dtype)
 
-        # EE soft constraint: Gauss-Newton on the 6-dim residual
-        e = ee_residual(model, x, p_ref, q_ref)
-        Je = jax.jacfwd(lambda xx: ee_residual(model, xx, p_ref, q_ref))(x)
+        # EE soft constraint: Gauss-Newton on the precomputed residual
         mu = jnp.asarray([mu_pos] * 3 + [mu_ori] * 3, dtype=dtype)
         L = L + 0.5 * jnp.sum(mu * e * e)
         Lx = Lx + Je.T @ (mu * e)
@@ -217,6 +219,31 @@ def make_stage_quadratizer(model: RobotModel, info: C.CentroidalInfo,
         Lu = Lu + jax.grad(al_u)(u)
         Luu = Luu + jax.jacfwd(jax.grad(al_u))(u)
         return L, Lx, Lu, Lxx, Luu, Lux
+
+    return quad_xu
+
+
+def make_stage_quadratizer(model: RobotModel, info: C.CentroidalInfo,
+                           cfg: QmConfig):
+    """Gauss-Newton quadratic approximation of the stage cost in (x, u).
+
+    Returns quad(t, x, u, target, flags) ->
+        (L, Lx(30), Lu(30), Lxx(30,30), Luu(30,30), Lux(30,30)).
+
+    Mirrors OCS2's term-wise getQuadraticApproximation: the tracking cost
+    is exactly quadratic; soft constraints contribute J' p'' J (+ exact
+    diagonal terms where the residual is linear). EE second derivatives of
+    the kinematics are dropped (the reference's EndEffectorConstraint is
+    declared ConstraintOrder::Linear, so OCS2 does the same).
+    """
+    import jax
+    quad_xu = make_stage_quadratizer_parts(model, info, cfg)
+
+    def quad(t, x, u, target: TargetTrajectory, flags):
+        p_ref, q_ref = interpolate_ee_pose(target, t)
+        e = ee_residual(model, x, p_ref, q_ref)
+        Je = jax.jacfwd(lambda xx: ee_residual(model, xx, p_ref, q_ref))(x)
+        return quad_xu(t, x, u, target, flags, e, Je)
 
     def final_quad(t, x, target: TargetTrajectory):
         import jax

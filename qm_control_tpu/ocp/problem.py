@@ -24,8 +24,9 @@ from ..gaits.swing import SwingConfig, swing_z_reference
 from ..models import centroidal as C
 from ..models.spec import RobotModel
 from .constraints import apply_input_param, input_parameterization
-from .costs import make_stage_cost, make_stage_quadratizer
-from .reference import TargetTrajectory
+from .costs import (make_stage_cost, make_stage_quadratizer,
+                    make_stage_quadratizer_parts)
+from .reference import TargetTrajectory, interpolate_ee_pose
 
 
 class OcpParams(NamedTuple):
@@ -67,19 +68,27 @@ def make_node_data(ms: ModeSchedule, target: TargetTrajectory, x0,
                      target=target, x0=jnp.asarray(x0, dtype=dtype))
 
 
-def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig):
-    """Returns (dynamics, stage_cost, final_cost, input_of) closures.
+class Ocp(NamedTuple):
+    """Closure bundle for one optimal-control problem (make_ocp)."""
+    dynamics: object           # (t, flags, zdot, x, w) -> x_next (RK2)
+    stage_cost: object         # (t, flags, zdot, x, w, target) -> dt*L
+    final_cost: object         # (t, x, target) -> Phi
+    input_of: object           # (t, flags, zdot, x, w) -> u(30)
+    stage_quadratize: object   # -> (l, lx, lw, lxx, lww, lwx)
+    final_quadratize: object   # -> (l, lx, lxx)
+    cost_and_dynamics: object  # fused (cost, x_next)
+    stage_linearize: object    # fused (A, B, l, lx, lw, lxx, lww, lwx)
 
-    dynamics(params, k_data, x, w) -> x_next     RK2 over dt
-    stage_cost(params, k_data, x, w) -> dt * L
-    final_cost(params, x) -> Phi
-    input_of(params_node, x, w) -> u(30)         physical input recovery
 
-    where k_data = (t, contact_flags(4,), swing_zdot(4,)) is one node's
+def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig) -> Ocp:
+    """Build the OCP closures (see Ocp fields).
+
+    k_data = (t, contact_flags(4,), swing_zdot(4,)) is one node's
     slice (so the solver can lax.scan over nodes).
     """
     stage_l, final_l = make_stage_cost(model, info, cfg)
     stage_q, final_q = make_stage_quadratizer(model, info, cfg)
+    stage_q_xu = make_stage_quadratizer_parts(model, info, cfg)
     dt = cfg.mpc.dt
 
     def input_of(t, flags, zdot, x, w):
@@ -136,5 +145,41 @@ def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig):
     def final_quadratize(t, x, target: TargetTrajectory):
         return final_q(t, x, target)
 
-    return (dynamics, stage_cost, final_cost, input_of,
-            stage_quadratize, final_quadratize, cost_and_dynamics)
+    def stage_linearize(t, flags, zdot, x, w, target: TargetTrajectory):
+        """Fused dynamics linearization + cost quadratization: ONE
+        jax.linearize over z = (x, w) of the combined (x_next, u, e_ee)
+        map yields A, B, the input-map Jacobian du/dx, N = du/dw, AND the
+        EE-residual Jacobian Je together — every FK in the stage is
+        evaluated and differentiated exactly once."""
+        from .costs import ee_residual
+        z0 = jnp.concatenate([x, w])
+        p_ref, q_ref = interpolate_ee_pose(target, t)
+
+        def f(z):
+            xx, ww = z[:30], z[30:]
+            p = input_parameterization(model, info, xx, flags, zdot)
+            uu = apply_input_param(p, ww)
+            k1 = flow(xx, uu)
+            k2 = flow(xx + 0.5 * dt * k1, uu)
+            e = ee_residual(model, xx, p_ref, q_ref)
+            return jnp.concatenate([xx + dt * k2, uu, e])
+
+        out, f_jvp = jax.linearize(f, z0)
+        u, e = out[30:60], out[60:]
+        J = jax.vmap(f_jvp)(jnp.eye(60, dtype=x.dtype)).T
+        A, B = J[:30, :30], J[:30, 30:]
+        Ju, N = J[30:60, :30], J[30:60, 30:]
+        Je = J[60:, :30]
+        L, Lx, Lu, Lxx, Luu, Lux = stage_q_xu(t, x, u, target, flags, e, Je)
+        LuuJu = Luu @ Ju
+        lx = Lx + Ju.T @ Lu
+        lw = N.T @ Lu
+        lxx = Lxx + Ju.T @ Lux + Lux.T @ Ju + Ju.T @ LuuJu
+        lww = N.T @ Luu @ N
+        lwx = N.T @ (Lux + LuuJu)
+        return (A, B, dt * L, dt * lx, dt * lw, dt * lxx, dt * lww,
+                dt * lwx)
+
+    return Ocp(dynamics, stage_cost, final_cost, input_of,
+               stage_quadratize, final_quadratize, cost_and_dynamics,
+               stage_linearize)

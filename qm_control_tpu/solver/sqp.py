@@ -60,7 +60,7 @@ class SqpSolution(NamedTuple):
 def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
               x0, X_init, W_init, settings: SqpSettings = SqpSettings(),
               stage_quad=None, final_quad=None,
-              cost_and_dynamics=None) -> SqpSolution:
+              cost_and_dynamics=None, stage_linearize=None) -> SqpSolution:
     """Minimize sum_k l_k(x_k, w_k) + lf(x_N)  s.t.  x_{k+1} = f_k(x_k, w_k),
     x_0 = x0, starting from the (possibly infeasible) iterate (X_init, W_init).
 
@@ -91,29 +91,36 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
         def cost_and_dynamics(kd, x, w):
             return stage_cost(kd, x, w), dynamics(kd, x, w)
 
-    def eval_costs(X, W):
-        costs = jax.vmap(stage_cost)(node_data, X[:-1], W)
-        return jnp.sum(costs) + final_cost(final_data, X[-1])
-
-    def eval_defects(X, W):
-        f = jax.vmap(dynamics)(node_data, X[:-1], W)
-        return f - X[1:]                                  # (N, nx)
-
     def merit(X, W):
         # fused: one pass computes stage costs AND next states (shares
-        # the FK-heavy input reparameterization)
+        # the FK-heavy input reparameterization); returns the raw cost
+        # too so the final iterate needs no extra evaluation pass
         costs, f = jax.vmap(cost_and_dynamics)(node_data, X[:-1], W)
         d = f - X[1:]
         total = jnp.sum(costs) + final_cost(final_data, X[-1])
-        return total + nu * jnp.sum(jnp.abs(d)), d
+        return total + nu * jnp.sum(jnp.abs(d)), total, d
 
-    def linearize(X, W):
-        def node(kd, x, w):
-            A = jax.jacfwd(lambda xx: dynamics(kd, xx, w))(x)
-            B = jax.jacfwd(lambda ww: dynamics(kd, x, ww))(w)
-            _, lx, lw, lxx, lww, lwx = stage_quad(kd, x, w)
-            return A, B, lx, lw, lxx, lww, lwx
-        return jax.vmap(node)(node_data, X[:-1], W)
+    if stage_linearize is not None:
+        # fused per-node linearization: ONE jacfwd through the combined
+        # (dynamics, input-map) yields A, B and the cost quadratization
+        # together (the FK-heavy input reparameterization is traced once)
+        def linearize(X, W):
+            def node(kd, x, w):
+                A, B, _, lx, lw, lxx, lww, lwx = stage_linearize(kd, x, w)
+                return A, B, lx, lw, lxx, lww, lwx
+            return jax.vmap(node)(node_data, X[:-1], W)
+    else:
+        def linearize(X, W):
+            def node(kd, x, w):
+                # one jacfwd over the concatenated (x, w) gives A and B in
+                # a single traced jvp body (halves the dynamics-trace cost)
+                AB = jax.jacfwd(
+                    lambda z: dynamics(kd, z[:nx], z[nx:]))(
+                        jnp.concatenate([x, w]))
+                A, B = AB[:, :nx], AB[:, nx:]
+                _, lx, lw, lxx, lww, lwx = stage_quad(kd, x, w)
+                return A, B, lx, lw, lxx, lww, lwx
+            return jax.vmap(node)(node_data, X[:-1], W)
 
     def backward(A, B, lx, lu, lxx, luu, lux, d, VxN, VxxN):
         # contraction-unrolled matmuls + unrolled Cholesky: batched 30x30
@@ -178,7 +185,7 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
         return X + dX, W + dW
 
     def iteration(carry, _):
-        X, W, m_cur, d = carry
+        X, W, m_cur, cost_cur, d = carry
         A, B, lx, lu, lxx, luu, lux = linearize(X, W)
         _, VxN, VxxN = final_quad(final_data, X[-1])
         VxxN = 0.5 * (VxxN + VxxN.T)
@@ -187,25 +194,26 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
 
         def candidate(alpha):
             Xc, Wc = linear_forward(X, W, A, B, d, kffs, Kfbs, alpha)
-            mc, dc = merit(Xc, Wc)
-            return Xc, Wc, mc, dc
-        Xc, Wc, mc, dc = jax.vmap(candidate)(alphas)
+            mc, cc, dc = merit(Xc, Wc)
+            return Xc, Wc, mc, cc, dc
+        Xc, Wc, mc, cc, dc = jax.vmap(candidate)(alphas)
         mc = jnp.where(jnp.isfinite(mc), mc, jnp.inf)
         best = jnp.argmin(mc)
         improved = mc[best] < m_cur
         X_new = jnp.where(improved, Xc[best], X)
         W_new = jnp.where(improved, Wc[best], W)
         d_new = jnp.where(improved, dc[best], d)
+        c_new = jnp.where(improved, cc[best], cost_cur)
         m_new = jnp.minimum(mc[best], m_cur)
         alpha_used = jnp.where(improved, alphas[best], 0.0)
-        return (X_new, W_new, m_new, d_new), (Kfbs, alpha_used)
+        return (X_new, W_new, m_new, c_new, d_new), (Kfbs, alpha_used)
 
     X0 = X_init.at[0].set(x0)
-    m0, d0 = merit(X0, W_init)
-    (X, W, _, d_final), (Kfbs, alpha) = jax.lax.scan(
-        iteration, (X0, W_init, m0, d0), None,
+    m0, c0, d0 = merit(X0, W_init)
+    (X, W, _, cost, d_final), (Kfbs, alpha) = jax.lax.scan(
+        iteration, (X0, W_init, m0, c0, d0), None,
         length=settings.num_iterations)
-    return SqpSolution(X=X, W=W, cost=eval_costs(X, W),
+    return SqpSolution(X=X, W=W, cost=cost,
                        defect=jnp.max(jnp.abs(d_final)),
                        K=jax.tree_util.tree_map(lambda a: a[-1], Kfbs),
                        alpha=alpha[-1])

@@ -16,6 +16,7 @@ two TPU-native changes:
 Decision vector x in R^36 = [v_dot(24); F(12)] (torques recovered
 afterwards; reference WbcBase.cpp:36, :548-563).
 """
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -107,22 +108,16 @@ class WbcDesired(NamedTuple):
 def compute_measured(model: RobotModel, q, v, contact_flags) -> WbcData:
     """All measured-side RBD quantities in one pass
     (reference WbcBase.cpp:134-191)."""
-    cache = K.fk(model, q)
     M = D.mass_matrix(model, q)
     h = D.nonlinear_effects(model, q, v)
-    Jc = K.stacked_contact_jacobian(model, q)
-    dJc = K.stacked_contact_jacobian_dot(model, q, v)
-    base_frame = lambda qq: _frame_J(model, qq, "base")
-    base_J = _frame_J(model, q, "base")
-    _, base_dJ = jax.jvp(base_frame, (q,), (v,))
-    ee_J = _frame_J(model, q, EE_FRAME)
-    _, ee_dJ = jax.jvp(lambda qq: _frame_J(model, qq, EE_FRAME), (q,), (v,))
+    # ONE jvp over the combined frame-kinematics pass yields every J and
+    # every dJ/dt together (vs per-frame FK + per-frame jvp, which traced
+    # FK ~10x and dominated compile time).
+    prim, tang = jax.jvp(partial(K.frame_kinematics, model), (q,), (v,))
+    Jc, base_J, ee_J, feet_pos, ee_pos, ee_R = prim
+    dJc, base_dJ, ee_dJ = tang[0], tang[1], tang[2]
     ee_dJ_noeuler = ee_dJ.at[3:, 3:6].set(0.0)
-    feet_pos = jnp.stack([K.frame_pose(model, cache, f)[0]
-                          for f in ("LF_FOOT", "RF_FOOT", "LH_FOOT",
-                                    "RH_FOOT")])
     feet_vel = (Jc @ v).reshape(4, 3)
-    ee_pos, ee_R = K.frame_pose(model, cache, EE_FRAME)
     return WbcData(q=q, v=v, M=M, h=h, Jc=Jc, dJc_v=dJc @ v,
                    base_J=base_J, base_dJ_v=base_dJ @ v,
                    ee_J=ee_J, ee_dJ_v=ee_dJ @ v,
@@ -146,24 +141,19 @@ def compute_desired(model: RobotModel, info: C.CentroidalInfo,
     v_base = C.base_velocity_from_momentum(info, state_des)
     v_j = input_des[12:]
     v_des = jnp.concatenate([v_base, v_j])
-    cache = K.fk(model, q_des)
 
     joint_acc = (input_des[12:] - input_last[12:]) / period
-    A = D.centroidal_momentum_matrix(model, q_des)          # (6,24)
+    # one jvp yields A and Adot together (pinocchio dccrba equivalent)
+    A, Adot = jax.jvp(partial(D.centroidal_momentum_matrix, model),
+                      (q_des,), (v_des,))
     Ab, Aj = A[:, :6], A[:, 6:]
-    Adot = D.centroidal_momentum_matrix_dot(model, q_des, v_des)
     # normalized momentum rate from the centroidal flow map (forces+gravity)
     hdot = C.flow_map(model, info, state_des, input_des)[:6] * info.mass
     rate = hdot - Adot @ v_des - Aj @ joint_acc
     base_acc = jnp.linalg.solve(Ab, rate)
 
-    Jc = K.stacked_contact_jacobian(model, q_des)
-    feet_pos = jnp.stack([K.frame_pose(model, cache, f)[0]
-                          for f in ("LF_FOOT", "RF_FOOT", "LH_FOOT",
-                                    "RH_FOOT")])
+    Jc, _, ee_J, feet_pos, ee_pos, ee_R = K.frame_kinematics(model, q_des)
     feet_vel = (Jc @ v_des).reshape(4, 3)
-    ee_pos, ee_R = K.frame_pose(model, cache, EE_FRAME)
-    ee_J = _frame_J(model, q_des, EE_FRAME)
     return WbcDesired(q=q_des, v=v_des, base_acc=base_acc,
                       feet_pos=feet_pos, feet_vel=feet_vel,
                       ee_pos=ee_pos, ee_R=ee_R, ee_vel=ee_J @ v_des)
