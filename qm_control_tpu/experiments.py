@@ -164,12 +164,16 @@ def ee_tracking(cfg: Optional[QmConfig] = None, duration: float = 4.0,
 
 
 def disturbance_rejection(cfg: Optional[QmConfig] = None,
-                          push_velocity: float = 0.3,
-                          settle: float = 1.0, recover: float = 1.5,
-                          warmup: int = 25) -> dict:
-    """Config #4: lateral base push; measures recovery (the force-
-    disturbance robustness scenario — our plant injects the impulse as an
-    instantaneous base velocity)."""
+                          ee_force: float = 25.0,
+                          push_velocity: float = 0.0,
+                          settle: float = 1.0, hold: float = 1.5,
+                          release: float = 1.0, warmup: int = 25) -> dict:
+    """Config #4: EE force disturbance. A sustained world-frame force of
+    `ee_force` N (lateral, -y) is applied at the arm EE for `hold`
+    seconds, then released; the WBC receives the wrench as a measured
+    input (reference force-branch capability; WbcBase.cpp:338-383 task
+    structure). Optionally also an instantaneous base-velocity impulse
+    (`push_velocity` m/s lateral)."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
     loop = ControlLoop(model, info, cfg, LoopConfig())
@@ -179,18 +183,27 @@ def disturbance_rejection(cfg: Optional[QmConfig] = None,
     carry = loop.warmup(carry, target, ms, num_solves=warmup)
     carry, _ = loop.run(carry, target, ms,
                         num_cycles=int(settle * cfg.mpc.mpc_frequency))
-    # impulse
+    # apply the disturbance: sustained EE wrench (+ optional base impulse)
+    wrench = jnp.asarray([0.0, -ee_force, 0.0, 0.0, 0.0, 0.0],
+                         dtype=jnp.float32)
     carry = carry._replace(plant=carry.plant._replace(
+        ee_wrench=wrench,
         v=carry.plant.v.at[1].add(push_velocity)))
+    carry, m_hold = loop.run(carry, target, ms,
+                             num_cycles=int(hold * cfg.mpc.mpc_frequency))
+    err_under_load = 1e3 * float(np.asarray(m_hold.ee_pos_err)[-1])
+    # release
+    carry = carry._replace(plant=carry.plant._replace(
+        ee_wrench=jnp.zeros(6, dtype=jnp.float32)))
     carry, m = loop.run(carry, target, ms,
-                        num_cycles=int(recover * cfg.mpc.mpc_frequency))
+                        num_cycles=int(release * cfg.mpc.mpc_frequency))
     y_end = float(carry.plant.q[1])
     return {
-        "experiment": f"disturbance_rejection[{push_velocity} m/s]",
-        "recovered": bool(np.asarray(m.safe)[-1])
-        and np.isfinite(y_end),
-        "lateral_displacement_m": abs(y_end),
+        "experiment": f"disturbance_rejection[{ee_force} N EE force]",
+        "recovered": bool(np.asarray(m.safe)[-1]) and np.isfinite(y_end),
+        "ee_pos_err_under_load_mm": err_under_load,
         "ee_pos_err_end_mm": 1e3 * float(np.asarray(m.ee_pos_err)[-1]),
+        "lateral_displacement_m": abs(y_end),
     }
 
 

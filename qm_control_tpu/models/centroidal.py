@@ -84,11 +84,13 @@ def com_position_srbd(info: CentroidalInfo, x):
 
 
 def flow_map(model: RobotModel, info: CentroidalInfo, x, u,
-             external_torque_weight=None):
+             ee_wrench=None):
     """xdot = f(x, u): centroidal dynamics (reference QMDynamicsAD flow map).
 
     Momentum rate from contact forces + gravity; base pose rate from the
-    frozen SRBD momentum matrix; joint rate = commanded joint velocity input.
+    frozen SRBD momentum matrix; joint rate = commanded joint velocity
+    input. ee_wrench: optional world wrench [f(3); tau(3)] applied at the
+    arm EE — the MPC-side disturbance input hook (BASELINE config #4).
     """
     q = state_to_q(x)
     forces = u[:3 * NUM_CONTACTS].reshape(NUM_CONTACTS, 3)
@@ -99,6 +101,13 @@ def flow_map(model: RobotModel, info: CentroidalInfo, x, u,
 
     f_total = forces.sum(0)
     tau_com = jnp.cross(p_contacts - p_com[None, :], forces).sum(0)
+
+    if ee_wrench is not None:
+        w = jnp.asarray(ee_wrench, dtype=x.dtype)
+        from ..ocp.costs import ee_pose as _ee_pose
+        p_ee, _ = _ee_pose(model, q)
+        f_total = f_total + w[:3]
+        tau_com = tau_com + jnp.cross(p_ee - p_com, w[:3]) + w[3:]
 
     g = jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
     h_dot_lin = f_total / info.mass + g

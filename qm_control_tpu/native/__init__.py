@@ -86,14 +86,19 @@ class PolicyBuffer:
                                  float(stamp))
 
     def read(self):
-        """(array, stamp) of the newest consistent snapshot, or None."""
+        """(array, stamp) of the newest consistent snapshot, or None.
+
+        Allocates the destination per call: the C++ seqlock read is
+        consistent, but a shared scratch would let two reader threads
+        tear each other's snapshots at the Python layer."""
         stamp = ctypes.c_double()
-        ok = _lib.policy_buffer_read(self._h, _as_u8(self._scratch),
+        out = np.empty(self.num_floats, dtype=np.float32)
+        ok = _lib.policy_buffer_read(self._h, _as_u8(out),
                                      4 * self.num_floats,
                                      ctypes.byref(stamp))
         if not ok:
             return None
-        return self._scratch.copy(), stamp.value
+        return out, stamp.value
 
     @property
     def version(self):

@@ -98,14 +98,18 @@ class CommandQueue:
         self._q = queue.Queue(maxsize=maxsize)
 
     def publish(self, msg):
-        try:
-            self._q.put_nowait(msg)
-        except queue.Full:
+        # drop-oldest with retry: under concurrent publishers the freed
+        # slot can be stolen between get_nowait and put_nowait, so loop
+        # instead of letting a transient race raise queue.Full
+        while True:
             try:
-                self._q.get_nowait()      # drop oldest
-            except queue.Empty:
-                pass
-            self._q.put_nowait(msg)
+                self._q.put_nowait(msg)
+                return
+            except queue.Full:
+                try:
+                    self._q.get_nowait()      # drop oldest
+                except queue.Empty:
+                    pass
 
     def drain(self):
         """All pending messages (newest last)."""

@@ -31,7 +31,7 @@ from ..models.spec import RobotModel
 from ..mpc.mpc import MpcPolicy, evaluate_policy, mpc_step
 from ..ocp.problem import make_ocp
 from ..ocp.reference import TargetTrajectory, interpolate_ee_pose
-from ..solver.ilqr import IlqrSettings
+from ..solver.sqp import SqpSettings
 from ..wbc.wbc import hierarchical_wbc_update
 from .estimator import observation_from_rbd, rbd_state_from_plant, rbd_to_qv
 from .plant import (HybridCommand, PlantConfig, PlantState, init_plant_state,
@@ -75,10 +75,10 @@ class CycleMetrics(NamedTuple):
 
 
 def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
-               loop_cfg: LoopConfig, settings: Optional[IlqrSettings] = None):
+               loop_cfg: LoopConfig,
+               settings: Optional[SqpSettings] = None):
     """Build cycle(carry, target, ms, gains) -> (carry', CycleMetrics):
     one MPC period, fully on-device."""
-    from ..solver.sqp import SqpSettings
     settings = settings or SqpSettings(num_iterations=cfg.mpc.num_iterations)
     ocp = make_ocp(model, info, cfg)
     plant_step = make_plant_step(model, loop_cfg.plant)
@@ -109,7 +109,8 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
             flags = contact_flags_from_mode(mode).astype(jnp.float32)
             wbc = hierarchical_wbc_update(
                 model, info, gains, tau_max, x_des, u_des, input_last,
-                q_meas, v_meas, flags, jnp.asarray(tick_dt, jnp.float32), t)
+                q_meas, v_meas, flags, jnp.asarray(tick_dt, jnp.float32), t,
+                ee_wrench=plant.ee_wrench)  # measured-wrench feedthrough
             # hybrid commands (QMController::updateControlLaw :177-190)
             pos_des = x_des[12:30]
             vel_des = u_des[12:30]
@@ -184,7 +185,7 @@ class ControlLoop:
     def __init__(self, model: RobotModel, info: C.CentroidalInfo,
                  cfg: QmConfig, loop_cfg: LoopConfig = LoopConfig(),
                  gains: WbcGains = None,
-                 settings: Optional[IlqrSettings] = None):
+                 settings: Optional[SqpSettings] = None):
         self.model = model
         self.info = info
         self.cfg = cfg

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..models import dynamics as D
 from ..models import kinematics as K
-from ..models.spec import NQ, NUM_JOINTS, RobotModel
+from ..models.spec import EE_FRAME, NQ, NUM_JOINTS, RobotModel
 
 MAX_DELAY_STEPS = 32
 
@@ -32,11 +32,14 @@ class PlantConfig(NamedTuple):
     friction_mu: float = 0.7         # ground friction (Gazebo default)
     tangential_kp: float = 20000.0   # sticking (anchor spring) stiffness
     tangential_kd: float = 400.0     # tangential damping [N s/m]
-    # actuation delay in sim steps. Default 0 = ideal actuation; the
-    # reference's Gazebo config injects 9 ms (default.yaml:2) as a FAULT —
-    # set delay_steps=9 to reproduce that experiment. (With the compliant
-    # penalty ground here, large delays destabilize the 500 Hz WBC loop
-    # earlier than in Gazebo's constraint-based contact.)
+    # Actuation delay in COMMAND PUSHES, not sim substeps: the ring
+    # advances once per push_command(), which the control loop issues per
+    # control tick (500 Hz), while physics substeps at 1 kHz. So at the
+    # default rates one step = 2 ms: the reference's 9 ms Gazebo fault
+    # (default.yaml:2) is delay_steps ~= 4-5, or use delay_steps_for().
+    # Default 0 = ideal actuation. (With the compliant penalty ground
+    # here, large delays destabilize the 500 Hz WBC loop earlier than in
+    # Gazebo's constraint-based contact.)
     delay_steps: int = 0
     joint_damping: float = 0.1       # viscous joint friction
 
@@ -63,6 +66,8 @@ class PlantState(NamedTuple):
     cmd_buf: HybridCommand   # (MAX_DELAY_STEPS, 18) each — delay line
     buf_head: jnp.ndarray    # int32 write index
     anchors: jnp.ndarray     # (4,2) tangential friction anchor points
+    ee_wrench: jnp.ndarray   # (6,) external world wrench applied at the
+    #                          arm EE (disturbance injection; zeros = off)
 
 
 def init_plant_state(q0, v0=None, dtype=jnp.float32,
@@ -78,7 +83,14 @@ def init_plant_state(q0, v0=None, dtype=jnp.float32,
                else jnp.zeros((4, 2), dtype=dtype))
     return PlantState(q=q0, v=v0, t=jnp.asarray(0.0, dtype=dtype),
                       cmd_buf=buf, buf_head=jnp.asarray(0, dtype=jnp.int32),
-                      anchors=jnp.asarray(anchors, dtype=dtype))
+                      anchors=jnp.asarray(anchors, dtype=dtype),
+                      ee_wrench=jnp.zeros(6, dtype=dtype))
+
+
+def delay_steps_for(delay_s: float, push_freq: float = 500.0) -> int:
+    """Convert an actuation delay in seconds to delay line steps at the
+    rate commands are pushed (one push per control tick)."""
+    return int(round(delay_s * push_freq))
 
 
 def hybrid_torque(cmd: HybridCommand, q_joints, v_joints):
@@ -166,7 +178,11 @@ def make_plant_step(model: RobotModel, cfg: PlantConfig):
                                                  state.anchors)
         M = D.mass_matrix(model, q)
         h = D.nonlinear_effects(model, q, v)
-        rhs = tau - h + Jc.T @ fc.reshape(-1)
+        # external EE wrench (disturbance injection, BASELINE config #4):
+        # generalized force J_ee^T w
+        J_ee = K.frame_jacobian(model, q, EE_FRAME)
+        rhs = (tau - h + Jc.T @ fc.reshape(-1)
+               + J_ee.T @ state.ee_wrench.astype(q.dtype))
         # Implicit damping diagonal: viscous joint friction + the hybrid
         # command's own PD stiffness/damping (kd + dt*kp) — distal arm
         # joints have tiny inertias, so explicit PD torque integration

@@ -167,18 +167,32 @@ def _with_force_cols(A_vdot, A_force):
     return jnp.concatenate([A_vdot, A_force], axis=1)
 
 
-def floating_base_eom_task(m: WbcData) -> Task:
-    """[Mb, -Jb'] x = -hb (reference :338-356)."""
+def _ee_generalized_force(m: WbcData, ee_wrench):
+    """Q = J_ee^T w (24,) for a world-frame wrench [f(3); tau(3)] applied
+    at the arm EE; zeros when no wrench is given."""
+    if ee_wrench is None:
+        return jnp.zeros(NQ, dtype=m.q.dtype)
+    return m.ee_J.T @ jnp.asarray(ee_wrench, dtype=m.q.dtype)
+
+
+def floating_base_eom_task(m: WbcData, ee_wrench=None) -> Task:
+    """[Mb, -Jb'] x = -hb + (J_ee' w)[:6] (reference :338-356; the
+    external-wrench term is the task-structured hook of the reference's
+    force branch — BASELINE config #4)."""
     A = _with_force_cols(m.M[:6], -m.Jc.T[:6])
-    return eq_task(A, -m.h[:6])
+    Q = _ee_generalized_force(m, ee_wrench)
+    return eq_task(A, -m.h[:6] + Q[:6])
 
 
-def torque_limits_task(m: WbcData, tau_max) -> Task:
-    """+-[Mj, -Jj'] x <= tau_max -+ hj (reference :360-383)."""
+def torque_limits_task(m: WbcData, tau_max, ee_wrench=None) -> Task:
+    """+-[Mj, -Jj'] x <= tau_max -+ (hj - (J_ee' w)[6:])
+    (reference :360-383 with the external-wrench bias)."""
     Aj = _with_force_cols(m.M[6:], -m.Jc.T[6:])
     D_ = jnp.concatenate([Aj, -Aj], axis=0)
     tau = jnp.asarray(tau_max, dtype=m.q.dtype)
-    f = jnp.concatenate([tau - m.h[6:], tau + m.h[6:]])
+    Q = _ee_generalized_force(m, ee_wrench)
+    hj_eff = m.h[6:] - Q[6:]
+    f = jnp.concatenate([tau - hj_eff, tau + hj_eff])
     return ineq_task(D_, f)
 
 
@@ -318,7 +332,10 @@ def contact_force_task(m: WbcData, input_des) -> Task:
     return eq_task(A, input_des[:12])
 
 
-def recover_torques(m: WbcData, x_opt):
-    """tau = Mj vdot - Jj' F + hj (reference WbcBase::updateCmd :548-563)."""
+def recover_torques(m: WbcData, x_opt, ee_wrench=None):
+    """tau = Mj vdot - Jj' F + hj - (J_ee' w)[6:]
+    (reference WbcBase::updateCmd :548-563, with the external EE wrench
+    entering as a measured generalized force)."""
     vdot, F = x_opt[:24], x_opt[24:]
-    return m.M[6:] @ vdot - m.Jc.T[6:] @ F + m.h[6:]
+    Q = _ee_generalized_force(m, ee_wrench)
+    return m.M[6:] @ vdot - m.Jc.T[6:] @ F + m.h[6:] - Q[6:]

@@ -55,14 +55,20 @@ def _blend_tasks(t_a, t_b, w_b):
 def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
                             gains: WbcGains, tau_max,
                             state_des, input_des, input_last,
-                            q, v, contact_flags, period, time) -> WbcResult:
-    """One WBC solve. Mirrors HierarchicalWbc::update (reference :18-44)."""
+                            q, v, contact_flags, period, time,
+                            ee_wrench=None) -> WbcResult:
+    """One WBC solve. Mirrors HierarchicalWbc::update (reference :18-44).
+
+    ee_wrench: optional measured world-frame wrench [f(3); tau(3)] applied
+    at the arm EE (force-sensor input); enters the EoM, torque limits and
+    torque recovery (BASELINE config #4; reference WbcBase.cpp:338-383
+    task structure)."""
     m = compute_measured(model, q, v, contact_flags)
     d = compute_desired(model, info, state_des, input_des, input_last,
                         period)
 
-    t0 = (floating_base_eom_task(m)
-          + torque_limits_task(m, tau_max)
+    t0 = (floating_base_eom_task(m, ee_wrench)
+          + torque_limits_task(m, tau_max, ee_wrench)
           + no_contact_motion_task(m)
           + friction_cone_task(m, gains.friction_coefficient))
 
@@ -97,7 +103,7 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
         m, d, gains.kp_base_linear, gains.kd_base_linear)
 
     x_opt = hoqp_solve([t0, t1, t2])
-    tau = recover_torques(m, x_opt)
+    tau = recover_torques(m, x_opt, ee_wrench)
     return WbcResult(x_opt=x_opt, torques=tau, vdot=x_opt[:24],
                      forces=x_opt[24:])
 
@@ -105,14 +111,15 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
 def hierarchical_mpc_wbc_update(model: RobotModel, info: C.CentroidalInfo,
                                 gains: WbcGains, tau_max,
                                 state_des, input_des, input_last,
-                                q, v, contact_flags, period) -> WbcResult:
+                                q, v, contact_flags, period,
+                                ee_wrench=None) -> WbcResult:
     """MPC-only variant: no arm/EE tasks (reference
     HierarchicalMpcWbc.cpp:18-34 — arm handled by position controllers)."""
     m = compute_measured(model, q, v, contact_flags)
     d = compute_desired(model, info, state_des, input_des, input_last,
                         period)
-    t0 = (floating_base_eom_task(m)
-          + torque_limits_task(m, tau_max)
+    t0 = (floating_base_eom_task(m, ee_wrench)
+          + torque_limits_task(m, tau_max, ee_wrench)
           + no_contact_motion_task(m)
           + friction_cone_task(m, gains.friction_coefficient))
     t1 = (base_height_task(m, d, gains.base_height_kp, gains.base_height_kd)
@@ -123,7 +130,7 @@ def hierarchical_mpc_wbc_update(model: RobotModel, info: C.CentroidalInfo,
                            gains.kd_swing).scaled(gains.swing_task_weight))
     t2 = contact_force_task(m, input_des)
     x_opt = hoqp_solve([t0, t1, t2])
-    tau = recover_torques(m, x_opt)
+    tau = recover_torques(m, x_opt, ee_wrench)
     return WbcResult(x_opt=x_opt, torques=tau, vdot=x_opt[:24],
                      forces=x_opt[24:])
 

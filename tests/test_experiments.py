@@ -24,10 +24,12 @@ def test_standing_ee_hold_smoke():
 
 @pytest.mark.slow
 def test_disturbance_rejection_smoke():
-    r = E.disturbance_rejection(cfg=_ci_cfg(), push_velocity=0.2,
-                                settle=0.3, recover=0.7, warmup=10)
+    r = E.disturbance_rejection(cfg=_ci_cfg(), ee_force=20.0,
+                                settle=0.3, hold=0.5, release=0.4,
+                                warmup=10)
     assert r["recovered"]
     assert r["lateral_displacement_m"] < 0.3
+    assert np.isfinite(r["ee_pos_err_under_load_mm"])
 
 
 @pytest.mark.slow

@@ -105,3 +105,30 @@ def test_arm_settling_phase_tracks_joints(model, info, standing):
         jnp.asarray(0.002), jnp.asarray(1.0))
     # arm joint 1 acceleration should be strongly negative (pull back)
     assert float(res.vdot[18]) < -10.0
+
+
+def test_ee_wrench_enters_eom(model, info, standing):
+    """With a measured EE wrench, the solved EoM balances
+    Mb vdot - Jb' F + hb = (J_ee' w)[:6]  (reference WbcBase.cpp:338-383
+    task structure, BASELINE config #4)."""
+    q, v, x_des, u_des, flags = standing
+    gains = WbcGains()
+    tau_max = jnp.asarray(model.joint_effort, dtype=jnp.float32)
+    wrench = jnp.asarray([0.0, -25.0, 0.0, 0.0, 0.0, 0.0],
+                         dtype=jnp.float32)
+    res = jax.jit(lambda: hierarchical_wbc_update(
+        model, info, gains, tau_max, x_des, u_des, u_des, q, v, flags,
+        jnp.asarray(0.002), jnp.asarray(20.0), ee_wrench=wrench))()
+    m = compute_measured(model, q, v, flags)
+    Q = np.asarray(m.ee_J.T @ wrench)
+    lhs = np.asarray(m.M[:6] @ res.vdot - m.Jc.T[:6] @ res.forces
+                     + m.h[:6])
+    np.testing.assert_allclose(lhs, Q[:6], atol=2e-2)
+    # torque recovery uses the wrench too
+    tau = recover_torques(m, res.x_opt, ee_wrench=wrench)
+    np.testing.assert_allclose(np.asarray(tau), np.asarray(res.torques),
+                               atol=1e-5)
+    # wrench-aware torques differ from wrench-blind ones (the arm must
+    # actively resist the load)
+    tau_blind = recover_torques(m, res.x_opt)
+    assert np.abs(np.asarray(tau_blind) - np.asarray(tau)).max() > 0.5
