@@ -62,10 +62,11 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     carry = loop.init_carry(q0)
     carry = loop.warmup(carry, target, ms, num_solves=warmup)
     pos_errs, ori_errs, safes = [], [], []
+    log = TrajectoryLog()
     cycles = int(duration * cfg.mpc.mpc_frequency)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
     for _ in range(cycles // chunk):
-        carry, m = loop.run(carry, target, ms, num_cycles=chunk)
+        carry, m = loop.run(carry, target, ms, num_cycles=chunk, log=log)
         if float(carry.t) > transient:
             pos_errs.append(float(np.asarray(m.ee_pos_err)[-1]))
             ori_errs.append(float(np.asarray(m.ee_ori_err)[-1]))
@@ -78,6 +79,8 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
         "safe": all(safes),
         "reference_target_mm": 3.5,
         "reference_target_deg": 2.6,
+        "cycle_timer": loop.cycle_timer.summary(),
+        "log": log,
     }
 
 
@@ -99,6 +102,7 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
     phase = "settle"
     worst_pos = worst_ori = 0.0
+    log = TrajectoryLog()
     while float(carry.t) < max_time:
         rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
         x_obs = np.asarray(observation_from_rbd(model, info, rbd,
@@ -112,7 +116,7 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
         v_cmd = [speed, 0, 0, 0] if phase == "walk" else [0, 0, 0, 0]
         target, _ = cmd_vel_to_target(v_cmd, ee_hold.copy(), float(carry.t),
                                       x_obs, ee_state, cfg.reference)
-        carry, m = loop.run(carry, target, ms, num_cycles=chunk)
+        carry, m = loop.run(carry, target, ms, num_cycles=chunk, log=log)
         if float(carry.t) > 0.6:
             worst_pos = max(worst_pos, float(np.nanmax(m.ee_pos_err)))
             worst_ori = max(worst_ori, float(np.nanmax(m.ee_ori_err)))
@@ -126,6 +130,8 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
         "safe": bool(np.asarray(carry.safe)),
         "reference_target_mm": 3.5,
         "reference_target_deg": 2.6,
+        "cycle_timer": loop.cycle_timer.summary(),
+        "log": log,
     }
 
 

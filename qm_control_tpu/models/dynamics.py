@@ -17,6 +17,7 @@ machine precision (tested in tests/test_dynamics.py).
 All quantities use velocity coordinates = plain q-dot (see spec.py).
 """
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +121,66 @@ def centroidal_momentum_matrix_dot(model: RobotModel, q, v):
     """dA/dt via jvp (reference: pinocchio::dccrba)."""
     _, Adot = jax.jvp(partial(centroidal_momentum_matrix, model), (q,), (v,))
     return Adot
+
+
+class RbdSuite(NamedTuple):
+    """Every RBD/frame quantity the WBC needs from ONE FK pass.
+
+    Designed so that jax.jacfwd of rbd_suite (one 24-tangent forward
+    pass, lane-parallel) yields all the time-derivative terms (Mdot,
+    Adot, dJ/dt) by contraction — the whole WBC model side becomes a
+    single kernel-count-of-one-FK computation (latency-critical: the
+    2 ms WBC deadline, BASELINE.md).
+    """
+    M: jnp.ndarray        # (24,24) mass matrix
+    A: jnp.ndarray        # (6,24) centroidal momentum matrix
+    Jc: jnp.ndarray       # (12,24) stacked contact Jacobian (linear)
+    base_J: jnp.ndarray   # (6,24)
+    ee_J: jnp.ndarray     # (6,24)
+    feet_pos: jnp.ndarray  # (4,3)
+    ee_pos: jnp.ndarray   # (3,)
+    ee_R: jnp.ndarray     # (3,3)
+    gvec: jnp.ndarray     # (24,) gravity generalized force (analytic)
+
+
+def rbd_suite(model: RobotModel, q) -> RbdSuite:
+    """One FK pass -> (M, A, frame Jacobians, gravity vector).
+
+    Gravity is closed-form (dV/dq_k = g sum_b m_b dz(com_b)/dq_k via the
+    com-point Jacobian z-rows) — no autodiff pass.
+    """
+    from .kinematics import frame_kinematics
+    cache = fk(model, q)
+    J = all_body_jacobians(model, cache)          # (n,6,nq)
+    I = _world_spatial_inertias(model, cache)     # (n,6,6)
+    M = jnp.einsum("nik,nij,njl->kl", J, I, J)
+    M = 0.5 * (M + M.T)
+
+    m = jnp.asarray(model.mass, dtype=q.dtype)
+    c_w = cache["p"] + jnp.einsum("nij,nj->ni", cache["R"],
+                                  jnp.asarray(model.com, dtype=q.dtype))
+    com = (m[:, None] * c_w).sum(0) / m.sum()
+    r = cache["p"] - com[None, :]
+    S = skew(r)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), S.shape)
+    zero = jnp.zeros_like(S)
+    T = jnp.concatenate([jnp.concatenate([eye, zero], axis=2),
+                         jnp.concatenate([S, eye], axis=2)], axis=1)
+    A = jnp.einsum("nij,njk,nkl->il", T, I, J)
+
+    # analytic gravity: z-row of each body-com point Jacobian
+    a, o = cache["a"], cache["o"]                 # (k,3)
+    rev = jnp.asarray(model.joint_type == 1, dtype=q.dtype)       # (k,)
+    mask = jnp.asarray(model.ancestor, dtype=q.dtype)             # (k,b)
+    rc = c_w[None, :, :] - o[:, None, :]          # (k,b,3)
+    cross_z = a[:, None, 0] * rc[:, :, 1] - a[:, None, 1] * rc[:, :, 0]
+    lin_z = rev[:, None] * cross_z + (1.0 - rev)[:, None] * a[:, None, 2]
+    gvec = GRAVITY * jnp.einsum("b,kb->k", m, lin_z * mask)
+
+    Jc, base_J, ee_J, feet_pos, ee_pos, ee_R = frame_kinematics(
+        model, q, cache=cache)
+    return RbdSuite(M=M, A=A, Jc=Jc, base_J=base_J, ee_J=ee_J,
+                    feet_pos=feet_pos, ee_pos=ee_pos, ee_R=ee_R, gvec=gvec)
 
 
 def forward_dynamics(model: RobotModel, q, v, tau, J_c=None, f_c=None):

@@ -185,7 +185,7 @@ def all_body_jacobians(model: RobotModel, cache):
     return jnp.swapaxes(J, 1, 2)                          # (b,6,k)
 
 
-def frame_kinematics(model: RobotModel, q):
+def frame_kinematics(model: RobotModel, q, cache=None):
     """One FK pass -> every frame quantity the WBC needs:
 
       (Jc (12,nq), base_J (6,nq), ee_J (6,nq), feet_p (4,3),
@@ -194,9 +194,11 @@ def frame_kinematics(model: RobotModel, q):
     Used with a single jax.jvp to get all the J-dot terms at once instead
     of re-deriving FK per frame (reference equivalent: one Pinocchio
     forwardKinematics + per-frame getFrameJacobian, WbcBase.cpp:134-191).
+    Pass a precomputed fk() cache to share the FK with other consumers.
     """
     from .spec import CONTACT_FRAMES, EE_FRAME
-    cache = fk(model, q)
+    if cache is None:
+        cache = fk(model, q)
     feet, jc_rows = [], []
     for f in CONTACT_FRAMES:
         fr = model.frame(f)

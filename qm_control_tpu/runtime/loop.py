@@ -67,11 +67,21 @@ class CycleCarry(NamedTuple):
 
 
 class CycleMetrics(NamedTuple):
+    """Per-cycle observability record (the QmVisualizer content of
+    reference qm_visualization.cpp:90-189, as arrays instead of RViz
+    markers — consumed by utils.viz.TrajectoryLog)."""
     ee_pos_err: jnp.ndarray    # scalar: ||p_ee - p_ref|| at cycle end
     ee_ori_err: jnp.ndarray    # scalar: |quat distance| at cycle end
     base_height: jnp.ndarray
     mpc_cost: jnp.ndarray
     safe: jnp.ndarray
+    base_pose: jnp.ndarray     # (6,) base position + zyx at cycle end
+    ee_pos: jnp.ndarray        # (3,) measured EE position
+    ee_ref: jnp.ndarray        # (3,) desired EE position
+    feet_pos: jnp.ndarray      # (4,3) foot positions (footholds)
+    forces: jnp.ndarray        # (12,) WBC contact forces, last tick
+    torques: jnp.ndarray       # (18,) WBC torques, last tick
+    x_des: jnp.ndarray         # (30,) optimized state at cycle end (MPC)
 
 
 def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
@@ -136,11 +146,13 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                 return p, None
             plant, _ = jax.lax.scan(sub, plant, None, length=substeps)
             safe = safe & safety_check(x_t, policy.cost)
-            return (plant, u_des, t + tick_dt, safe), None
+            return ((plant, u_des, t + tick_dt, safe),
+                    (wbc.torques, wbc.forces, x_des))
 
-        (plant, input_last, t, safe), _ = jax.lax.scan(
-            tick, (carry.plant, carry.input_last, carry.t, carry.safe),
-            None, length=ticks)
+        (plant, input_last, t, safe), (taus, forces, x_des_ticks) = \
+            jax.lax.scan(
+                tick, (carry.plant, carry.input_last, carry.t, carry.safe),
+                None, length=ticks)
 
         # --- metrics ---
         rbd_end = rbd_state_from_plant(model, plant.q, plant.v)
@@ -150,12 +162,20 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
         ee_q = jnp.concatenate([ee_q_xyzw[3:4], ee_q_xyzw[:3]])
         from ..models.rotations import quat_distance
         ori_err = jnp.linalg.norm(quat_distance(ee_q, q_ref))
+        from ..models import kinematics as K
         metrics = CycleMetrics(
             ee_pos_err=jnp.linalg.norm(ee_pos - p_ref),
             ee_ori_err=ori_err,
             base_height=plant.q[2],
             mpc_cost=policy.cost,
-            safe=safe)
+            safe=safe,
+            base_pose=plant.q[:6],
+            ee_pos=ee_pos,
+            ee_ref=p_ref,
+            feet_pos=K.contact_positions(model, plant.q),
+            forces=forces[-1],
+            torques=taus[-1],
+            x_des=x_des_ticks[-1])
         new_carry = CycleCarry(plant=plant, W_warm=policy.W,
                                X_warm=policy.X,
                                input_last=input_last, last_yaw=new_yaw,
@@ -194,6 +214,8 @@ class ControlLoop:
         cycle, warm = make_cycle(model, info, cfg, loop_cfg, settings)
         self._cycle = jax.jit(cycle)
         self._warmup = jax.jit(warm)
+        from ..utils.timers import RepeatedTimer
+        self.cycle_timer = RepeatedTimer("control_cycle")
 
     def init_carry(self, q0, v0=None) -> CycleCarry:
         N = self.cfg.mpc.num_nodes
@@ -224,11 +246,23 @@ class ControlLoop:
         return carry
 
     def run(self, carry: CycleCarry, target: TargetTrajectory,
-            ms: ModeSchedule, num_cycles: int):
-        """Run num_cycles MPC periods; returns (carry, stacked metrics)."""
+            ms: ModeSchedule, num_cycles: int, log=None):
+        """Run num_cycles MPC periods; returns (carry, stacked metrics).
+
+        If a utils.viz.TrajectoryLog is passed, every cycle's metrics are
+        appended to it (the QmVisualizer-publish equivalent, reference
+        qm_visualization.cpp:72-88), and the cycle wall time is recorded
+        in self.cycle_timer."""
         out = []
         for _ in range(num_cycles):
-            carry, m = self._cycle(carry, target, ms, self.gains)
+            with self.cycle_timer:
+                carry, m = self._cycle(carry, target, ms, self.gains)
             out.append(m)
         metrics = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
+        if log is not None:
+            for i, m in enumerate(out):
+                log.append(float(m.ee_pos_err * 0 + carry.t)
+                           - (num_cycles - 1 - i) / self.loop_cfg.mpc_freq,
+                           **{k: np.asarray(v)
+                              for k, v in m._asdict().items()})
         return carry, metrics

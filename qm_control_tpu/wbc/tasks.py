@@ -105,26 +105,73 @@ class WbcDesired(NamedTuple):
     ee_vel: jnp.ndarray        # (6,)
 
 
+def _measured_from_suite(q, v, contact_flags, s, ds):
+    """Assemble WbcData from an RbdSuite and its q-Jacobian (ds) by
+    contraction — the time-derivative terms are einsums with v."""
+    dM = ds.M                                      # (24,24,24)
+    Mdot = jnp.einsum("ijk,k->ij", dM, v)
+    dTdq = 0.5 * jnp.einsum("i,ijk,j->k", v, dM, v)
+    h = Mdot @ v - dTdq + s.gvec
+    dJc_v = jnp.einsum("ijk,k,j->i", ds.Jc, v, v)
+    base_dJ_v = jnp.einsum("ijk,k,j->i", ds.base_J, v, v)
+    ee_dJ = jnp.einsum("ijk,k->ij", ds.ee_J, v)    # (6,24)
+    ee_dJ_noeuler = ee_dJ.at[3:, 3:6].set(0.0)
+    feet_vel = (s.Jc @ v).reshape(4, 3)
+    return WbcData(q=q, v=v, M=s.M, h=h, Jc=s.Jc, dJc_v=dJc_v,
+                   base_J=s.base_J, base_dJ_v=base_dJ_v,
+                   ee_J=s.ee_J, ee_dJ_v=ee_dJ @ v,
+                   ee_dJ_v_noeuler=(ee_dJ_noeuler @ v)[3:],
+                   feet_pos=s.feet_pos, feet_vel=feet_vel,
+                   ee_pos=s.ee_pos, ee_R=s.ee_R, ee_vel=s.ee_J @ v,
+                   contact_flags=jnp.asarray(contact_flags, dtype=q.dtype))
+
+
 def compute_measured(model: RobotModel, q, v, contact_flags) -> WbcData:
     """All measured-side RBD quantities in one pass
-    (reference WbcBase.cpp:134-191)."""
-    M = D.mass_matrix(model, q)
-    h = D.nonlinear_effects(model, q, v)
-    # ONE jvp over the combined frame-kinematics pass yields every J and
-    # every dJ/dt together (vs per-frame FK + per-frame jvp, which traced
-    # FK ~10x and dominated compile time).
-    prim, tang = jax.jvp(partial(K.frame_kinematics, model), (q,), (v,))
-    Jc, base_J, ee_J, feet_pos, ee_pos, ee_R = prim
-    dJc, base_dJ, ee_dJ = tang[0], tang[1], tang[2]
-    ee_dJ_noeuler = ee_dJ.at[3:, 3:6].set(0.0)
-    feet_vel = (Jc @ v).reshape(4, 3)
-    return WbcData(q=q, v=v, M=M, h=h, Jc=Jc, dJc_v=dJc @ v,
-                   base_J=base_J, base_dJ_v=base_dJ @ v,
-                   ee_J=ee_J, ee_dJ_v=ee_dJ @ v,
-                   ee_dJ_v_noeuler=(ee_dJ_noeuler @ v)[3:],
-                   feet_pos=feet_pos, feet_vel=feet_vel,
-                   ee_pos=ee_pos, ee_R=ee_R, ee_vel=ee_J @ v,
-                   contact_flags=jnp.asarray(contact_flags, dtype=q.dtype))
+    (reference WbcBase.cpp:134-191): one rbd_suite evaluation + ONE
+    24-tangent jacfwd of it; every dot-term is a contraction."""
+    suite_fn = partial(D.rbd_suite, model)
+    s = suite_fn(q)
+    ds = jax.jacfwd(suite_fn)(q)
+    return _measured_from_suite(q, v, contact_flags, s, ds)
+
+
+def compute_wbc_data(model: RobotModel, info: C.CentroidalInfo,
+                     state_des, input_des, input_last, q, v,
+                     contact_flags, period):
+    """(WbcData, WbcDesired) with the measured and desired RBD passes
+    fused: one vmapped (rbd_suite, jacfwd(rbd_suite)) over the stacked
+    [q_meas, q_des] — the kernel count of a single pass, lane-parallel
+    over the two configurations and the 24 tangents. This is what holds
+    the WBC under its 2 ms deadline."""
+    q_des = C.state_to_q(state_des)
+    v_base = C.base_velocity_from_momentum(info, state_des)
+    v_des = jnp.concatenate([v_base, input_des[12:]])
+
+    suite_fn = partial(D.rbd_suite, model)
+    qs = jnp.stack([q, q_des])
+    prims, jacs = jax.vmap(
+        lambda qq: (suite_fn(qq), jax.jacfwd(suite_fn)(qq)))(qs)
+    s0 = jax.tree_util.tree_map(lambda a: a[0], prims)
+    ds0 = jax.tree_util.tree_map(lambda a: a[0], jacs)
+    s1 = jax.tree_util.tree_map(lambda a: a[1], prims)
+    ds1 = jax.tree_util.tree_map(lambda a: a[1], jacs)
+
+    m = _measured_from_suite(q, v, contact_flags, s0, ds0)
+
+    # desired side (reference WbcBase::updateDesired :193-226)
+    joint_acc = (input_des[12:] - input_last[12:]) / period
+    A = s1.A
+    Adot = jnp.einsum("ijk,k->ij", ds1.A, v_des)
+    Ab, Aj = A[:, :6], A[:, 6:]
+    hdot = C.flow_map(model, info, state_des, input_des)[:6] * info.mass
+    rate = hdot - Adot @ v_des - Aj @ joint_acc
+    base_acc = jnp.linalg.solve(Ab, rate)
+    feet_vel = (s1.Jc @ v_des).reshape(4, 3)
+    d = WbcDesired(q=q_des, v=v_des, base_acc=base_acc,
+                   feet_pos=s1.feet_pos, feet_vel=feet_vel,
+                   ee_pos=s1.ee_pos, ee_R=s1.ee_R, ee_vel=s1.ee_J @ v_des)
+    return m, d
 
 
 def _frame_J(model, q, name):

@@ -63,9 +63,9 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
     at the arm EE (force-sensor input); enters the EoM, torque limits and
     torque recovery (BASELINE config #4; reference WbcBase.cpp:338-383
     task structure)."""
-    m = compute_measured(model, q, v, contact_flags)
-    d = compute_desired(model, info, state_des, input_des, input_last,
-                        period)
+    from .tasks import compute_wbc_data
+    m, d = compute_wbc_data(model, info, state_des, input_des, input_last,
+                            q, v, contact_flags, period)
 
     t0 = (floating_base_eom_task(m, ee_wrench)
           + torque_limits_task(m, tau_max, ee_wrench)
@@ -115,9 +115,9 @@ def hierarchical_mpc_wbc_update(model: RobotModel, info: C.CentroidalInfo,
                                 ee_wrench=None) -> WbcResult:
     """MPC-only variant: no arm/EE tasks (reference
     HierarchicalMpcWbc.cpp:18-34 — arm handled by position controllers)."""
-    m = compute_measured(model, q, v, contact_flags)
-    d = compute_desired(model, info, state_des, input_des, input_last,
-                        period)
+    from .tasks import compute_wbc_data
+    m, d = compute_wbc_data(model, info, state_des, input_des, input_last,
+                            q, v, contact_flags, period)
     t0 = (floating_base_eom_task(m, ee_wrench)
           + torque_limits_task(m, tau_max, ee_wrench)
           + no_contact_motion_task(m)
