@@ -1,0 +1,188 @@
+"""Scaling measurement points (BASELINE.md): batched MPC solves/s at
+1 chip, 1 host (multi-device mesh), and N>=2 hosts (multi-process).
+
+Degrades gracefully to virtual CPU devices when no multi-chip hardware
+is attached (this machine exposes one TPU chip through a tunnel):
+
+  point "1chip"  — the real attached accelerator, B=256 fleet
+  point "1host"  — 8 virtual CPU devices, one process, sharded fleet
+  point "2host"  — 2 processes x 2 virtual CPU devices over localhost,
+                   jax.distributed + shard_map/psum
+
+CPU points measure SHARDING CORRECTNESS + scaling shape, not absolute
+TPU throughput; the per-chip absolute number comes from point 1.
+Usage: python tools/scaling_bench.py [--skip-tpu]
+Emits one JSON object per point.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _fleet_throughput(B, iters, settings=None):
+    import jax
+    import jax.numpy as jnp
+    from qm_control_tpu.config import QmConfig
+    from qm_control_tpu.parallel.batch import (BatchScenario,
+                                               make_batched_mpc_step)
+    from qm_control_tpu.parallel.mesh import make_mesh
+    from qm_control_tpu.parallel.distributed import sharded_fleet_step
+    from __graft_entry__ import _setup
+
+    cfg, model, info, x0, target, ms = _setup(QmConfig())
+    N = cfg.mpc.num_nodes
+    tile = lambda a: jnp.tile(jnp.asarray(a)[None],
+                              (B,) + (1,) * jnp.ndim(a))
+    batch = BatchScenario(
+        t=jnp.zeros(B, dtype=jnp.float32), x=tile(x0),
+        target=jax.tree_util.tree_map(tile, target),
+        ms=jax.tree_util.tree_map(tile, ms),
+        W_warm=jnp.zeros((B, N, 30), dtype=jnp.float32),
+        X_warm=tile(jnp.tile(x0[None], (N + 1, 1))))
+    mesh = make_mesh()
+    from qm_control_tpu.parallel.mesh import shard_scenarios
+    batch = shard_scenarios(mesh, batch)
+    step = sharded_fleet_step(mesh,
+                              make_batched_mpc_step(model, info, cfg,
+                                                    settings))
+    batch, policy, cost = step(batch)          # compile + warm
+    jax.block_until_ready(cost)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        batch, policy, cost = step(batch)
+    jax.block_until_ready(cost)
+    dt = time.perf_counter() - t0
+    return B * iters / dt, float(cost)
+
+
+def point_current_backend(B=None, iters=None):
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    B = B or (256 if on_tpu else 8)
+    iters = iters or (10 if on_tpu else 2)
+    settings = None
+    if not on_tpu:
+        from qm_control_tpu.solver.sqp import SqpSettings
+        settings = SqpSettings(num_iterations=1, unrolled_ops=False)
+    sps, cost = _fleet_throughput(B, iters, settings)
+    return {"point": f"1x{jax.default_backend()}",
+            "devices": len(jax.devices()), "batch": B,
+            "solves_per_s": round(sps, 1), "mean_cost": round(cost, 4)}
+
+
+_CHILD = r"""
+import os, sys, json, time
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(proc_id)
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["QM_REPO"])
+from qm_control_tpu.parallel.distributed import (global_mesh,
+    host_local_batch_to_global, initialize_distributed, sharded_fleet_step)
+initialize_distributed()
+import numpy as np, jax.numpy as jnp
+from qm_control_tpu.config import QmConfig
+from qm_control_tpu.parallel.batch import BatchScenario, make_batched_mpc_step
+from qm_control_tpu.solver.sqp import SqpSettings
+from __graft_entry__ import _setup
+mesh = global_mesh()
+cfg, model, info, x0, target, ms = _setup(QmConfig())
+N = cfg.mpc.num_nodes
+B_local = 4
+tile = lambda a: jnp.tile(jnp.asarray(a)[None], (B_local,) + (1,) * jnp.ndim(a))
+local = BatchScenario(t=jnp.zeros(B_local, dtype=jnp.float32), x=tile(x0),
+    target=jax.tree_util.tree_map(tile, target),
+    ms=jax.tree_util.tree_map(tile, ms),
+    W_warm=jnp.zeros((B_local, N, 30), dtype=jnp.float32),
+    X_warm=tile(jnp.tile(x0[None], (N + 1, 1))))
+g = host_local_batch_to_global(mesh, jax.tree_util.tree_map(np.asarray, local))
+step = sharded_fleet_step(mesh, make_batched_mpc_step(
+    model, info, cfg, SqpSettings(num_iterations=1, unrolled_ops=False)))
+g, policy, cost = step(g); jax.block_until_ready(cost)
+t0 = time.perf_counter()
+for _ in range(2):
+    g, policy, cost = step(g)
+jax.block_until_ready(cost)
+dt = time.perf_counter() - t0
+if proc_id == 0:
+    print("RESULT " + json.dumps({
+        "point": "2host_cpu", "devices": 4, "batch": 2 * B_local,
+        "solves_per_s": round(2 * B_local * 2 / dt, 1),
+        "mean_cost": round(float(cost), 4)}))
+"""
+
+
+def point_two_host():
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".py",
+                                     delete=False) as f:
+        f.write(_CHILD)
+        path = f.name
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO
+    env["QM_REPO"] = REPO
+    procs = [subprocess.Popen([sys.executable, path, str(i), str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, cwd=REPO)
+             for i in range(2)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        if p.returncode != 0:
+            raise RuntimeError(f"proc {i}:\n{outs[i][-2000:]}")
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+    raise RuntimeError("no RESULT line")
+
+
+def main():
+    skip_tpu = "--skip-tpu" in sys.argv
+    results = []
+    # point 1: current backend in-process (TPU if attached)
+    if not skip_tpu:
+        import jax  # noqa: F401
+        results.append(point_current_backend())
+        print(json.dumps(results[-1]))
+    # points 2-3 run in subprocesses (they need different XLA flags)
+    onehost = subprocess.run(
+        [sys.executable, "-c",
+         "import os;"
+         "os.environ['JAX_PLATFORMS']='cpu';"
+         "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys, json; sys.path.insert(0, %r);"
+         "from tools.scaling_bench import point_current_backend;"
+         "r = point_current_backend(B=8, iters=2);"
+         "r['point'] = '1host_cpu8';"
+         "print('RESULT ' + json.dumps(r))" % REPO],
+        capture_output=True, text=True, timeout=900,
+        env={**{k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+             "PYTHONPATH": REPO}, cwd=REPO)
+    for line in onehost.stdout.splitlines():
+        if line.startswith("RESULT "):
+            results.append(json.loads(line[len("RESULT "):]))
+            print(json.dumps(results[-1]))
+    results.append(point_two_host())
+    print(json.dumps(results[-1]))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
