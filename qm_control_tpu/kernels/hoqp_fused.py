@@ -1,0 +1,466 @@
+"""Fused hierarchical-WBC QP cascade — one Pallas TPU kernel.
+
+Replaces `wbc.hoqp.hoqp_solve` on the real-time path. The XLA version of
+the 3-level cascade lowers to ~50 host-visible small factorizations
+(3 levels x 15 interior-point iterations of cho_factor/cho_solve, plus
+projector solves); each is a sequentially-dependent tiny op, so the
+cascade is dispatch-latency-bound, not FLOP-bound. This kernel runs the
+ENTIRE cascade — every IP iteration, every linear solve, both null-space
+projector updates — inside a single `pallas_call` with all matrices
+resident in VMEM (reference counterpart: the qpOASES active-set solves
+in qm_wbc/src/HoQp.cpp:135-150 called per level).
+
+Two TPU-first linear-algebra redesigns make this possible:
+
+1. **Schur elimination of the slack block.** Level 0's IP Newton matrix
+   is M = [[Hz + D'd2D, -D'd2], [-d2D, I + d1 + d2]] — the slack-slack
+   block is DIAGONAL, so the 92-dim KKT system reduces exactly to a
+   36-dim solve: S = Hz + D' diag(d2(1+d1)/(1+d1+d2)) D. Every linear
+   solve in the cascade is then 36-dimensional.
+
+2. **Gauss-Jordan inversion with row ops + MXU rank-1 updates.** No
+   sqrt, no triangular solves (which serialize on the VPU): each of the
+   36 elimination steps is one one-hot column extraction (MXU matvec),
+   one pivot-row normalization, and one rank-1 outer-product update of
+   the [M | I] augmented buffer. GJ without pivoting is stable here
+   because every matrix inverted is SPD (+ ridge).
+
+The interior-point math replicates `wbc.qp.solve_qp` term by term
+(Mehrotra predictor-corrector, convergence gate, best-iterate tracking)
+so the kernel is a numerical drop-in; `tests/test_kernels.py` checks the
+returned decision vector against the XLA cascade on realistic stacks.
+
+Layout conventions (TPU f32 tiling is (8,128)-sublane x lane):
+  - every matrix is a (128,128) f32 buffer, row = sublane, col = lane;
+  - every vector is a (1,128) f32 row vector;
+  - active extents (task rows, 36 decision vars, 56 inequality rows) are
+    static Python ints taken from the unpadded task shapes at trace
+    time; masked lanes are provably inert (zero rows/cols).
+
+The math core `_cascade_math` is pure jnp: the Pallas kernel is only the
+fusion boundary. On CPU (tests, debugging) call the core directly — the
+same code lowers to ordinary XLA.
+"""
+import functools
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..wbc.tasks import NUM_DECISION_VARS, Task
+
+LANES = 128
+_EPS_H = 1e-6       # hoqp.py ridge on the level Hessian
+_EPS_NULL = 1e-7    # hoqp.py null-space projector damping
+_TAU = 0.995
+_GATE_TOL = 1e-6
+
+
+class FusedCascadeSpec(NamedTuple):
+    """Static shape info for one cascade instantiation (all exact,
+    unpadded row counts — they select the GJ step counts and masks)."""
+    ma0: int
+    nv0: int
+    ma1: int
+    ma2: int
+    qp_iters: int = 15
+
+
+# ---------------------------------------------------------------------------
+# small dense algebra on (128,128)/(1,128) buffers
+# ---------------------------------------------------------------------------
+
+def _dg(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _matvec(M, x):
+    """(M x) as a (1,128) row vector; x (1,128), M (128,128)."""
+    return _dg(x, M, ((1,), (1,)))
+
+
+def _vecmat(x, M):
+    """(M' x) as a (1,128) row vector (x through M transposed)."""
+    return _dg(x, M, ((1,), (0,)))
+
+
+def _mm(A, B):
+    return _dg(A, B, ((1,), (0,)))
+
+
+def _mmT(A, B):
+    """A' B, contracting the row (sublane) dims."""
+    return _dg(A, B, ((0,), (0,)))
+
+
+def _lane_mask(n):
+    return (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            < n).astype(jnp.float32)
+
+
+def _eye():
+    return (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            ).astype(jnp.float32)
+
+
+def _gj_inverse(M, n_steps, eye):
+    """Invert the leading (n_steps, n_steps) SPD block of M via
+    Gauss-Jordan with diagonal (complete, for SPD) pivoting on the
+    augmented [M | I] buffer. GJ computes the inverse regardless of
+    elimination order, so picking the largest remaining diagonal each
+    step costs only a diag extraction + argmax and recovers
+    Cholesky-with-pivoting-level stability on the near-rank-deficient
+    projected Hessians the cascade produces (eigenvalues down at the
+    _EPS_H ridge). Rows/cols >= n_steps must be zero (never pivoted; the
+    identity right half keeps their inverse rows at e_j, which
+    downstream masked matvecs ignore)."""
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (2 * LANES, 1), 0)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+    active = (sub_ids < n_steps).astype(jnp.float32)
+    aug = jnp.concatenate([M, eye], axis=1)
+    elim = jnp.zeros((LANES, 1), jnp.float32)
+    # pivot magnitude floor: f32 cancellation can drive a near-singular
+    # Schur-complement diagonal to ~0; flooring avoids inf/NaN at the
+    # cost of a (harmless, refined-away) large inverse entry
+    floor = 1e-10 * (jnp.sum(jnp.abs(M * eye)) / n_steps + 1.0)
+
+    def step(_, carry):
+        aug, elim = carry
+        diag = jnp.sum(aug[:, :LANES] * eye, axis=1, keepdims=True)
+        cand = jnp.where((elim > 0) | (active == 0), -jnp.inf, diag)
+        j = jnp.argmax(cand, axis=0)[0]
+        onehot = (lane_ids == j).astype(jnp.float32)            # (2L,1)
+        col = _dg(aug, onehot, ((1,), (0,)))                    # (128,1)
+        row = jax.lax.dynamic_slice(aug, (j, 0), (1, 2 * LANES))
+        piv = _dg(row, onehot, ((1,), (0,)))                    # (1,1)
+        piv = jnp.where(jnp.abs(piv) < floor,
+                        jnp.where(piv < 0, -floor, floor), piv)
+        r = row / piv
+        aug = aug - col * r
+        aug = jax.lax.dynamic_update_slice(aug, r, (j, 0))
+        elim = elim + (sub_ids == j).astype(jnp.float32)
+        return (aug, elim)
+
+    aug, _ = jax.lax.fori_loop(0, n_steps, step, (aug, elim))
+    return aug[:, LANES:]
+
+
+def _refined_solve(Minv, M, rhs, mask):
+    """x = Minv rhs with one step of iterative refinement (recovers the
+    accuracy a backward-stable factorization would give when Minv
+    carries f32 elimination error)."""
+    x = _matvec(Minv, rhs) * mask
+    r = rhs - _matvec(M, x) * mask
+    return x + _matvec(Minv, r) * mask
+
+
+# ---------------------------------------------------------------------------
+# generic masked interior-point solve (pytree state spaces)
+# ---------------------------------------------------------------------------
+
+def _tmap(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
+
+
+def _tsum(tree):
+    return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(tree))
+
+
+def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
+              qp_iters):
+    """Mehrotra predictor-corrector IP, replicating wbc.qp.solve_qp on
+    pytree-structured primal (x) and slack (s) spaces with lane masks.
+
+    Hmv/Gmv/GTmv: linear operators (x->x, x->s, s->x). solveM(d, rhs):
+    solve (H + G' diag(d) G) dx = rhs given the per-row weights d.
+    Returns (best_x, best_s_slack_tree) by KKT merit.
+    """
+    big = jnp.float32(1e30)
+
+    def msk(s_tree):
+        return _tmap(lambda a, m: a * m, s_tree, smask)
+
+    def merit(x, s, lam):
+        r_d = _tmap(lambda a, b, cc: a + b + cc, Hmv(x), c, GTmv(lam))
+        viol = msk(_tmap(lambda g, hh: jnp.maximum(g - hh, 0.0), Gmv(x), h))
+        return (_tsum(_tmap(lambda a: a * a, r_d))
+                + 100.0 * _tsum(_tmap(lambda a: a * a, viol))
+                + _tsum(msk(_tmap(lambda a, b: jnp.abs(a * b), s, lam))))
+
+    def maxstep(v_tree, dv_tree):
+        ratios = _tmap(lambda v, dv: jnp.where(dv < 0, -v / jnp.where(
+            dv < 0, dv, -1.0), big), v_tree, dv_tree)
+        worst = functools.reduce(jnp.minimum,
+                                 (jnp.min(r) for r in
+                                  jax.tree_util.tree_leaves(ratios)))
+        return jnp.minimum(1.0, worst)
+
+    s0 = _tmap(lambda hh, gx, m: (jnp.maximum(hh - gx, 1.0)) * m + (1 - m),
+               h, Gmv(x0), smask)
+    lam0 = smask
+
+    def body(carry, _):
+        x, s, lam, bx, bs, blam, bm = carry
+        s = _tmap(lambda a: jnp.maximum(a, 1e-9), s)
+        lam = _tmap(lambda a: jnp.maximum(a, 1e-12), lam)
+        r_d = _tmap(lambda a, b, cc: a + b + cc, Hmv(x), c, GTmv(lam))
+        r_p = msk(_tmap(lambda g, ss, hh: g + ss - hh, Gmv(x), s, h))
+        mu = _tsum(msk(_tmap(lambda a, b: a * b, s, lam))) / m_count
+        rp_max = functools.reduce(jnp.maximum,
+                                  (jnp.max(jnp.abs(r)) for r in
+                                   jax.tree_util.tree_leaves(r_p)))
+        gate = jnp.where((mu < _GATE_TOL * scale)
+                         & (rp_max < _GATE_TOL * scale), 0.0, 1.0)
+        d = _tmap(lambda l, ss: jnp.clip(l / ss, 1e-12, 1e8), lam, s)
+        # predictor (affine direction)
+        rc_aff = msk(_tmap(lambda ss, l, rp: (-ss * l + l * rp) / ss,
+                           s, lam, r_p))
+        rhs_a = _tmap(lambda a, b: -(a + b), r_d, GTmv(rc_aff))
+        dx_a = solveM(d, rhs_a)
+        ds_a = msk(_tmap(lambda rp, g: -rp - g, r_p, Gmv(dx_a)))
+        dl_a = msk(_tmap(lambda ss, l, dsa: (-ss * l - l * dsa) / ss,
+                         s, lam, ds_a))
+        ap_a = maxstep(s, ds_a)
+        ad_a = maxstep(lam, dl_a)
+        mu_aff = _tsum(msk(_tmap(
+            lambda ss, dsa, l, dla: (ss + ap_a * dsa) * (l + ad_a * dla),
+            s, ds_a, lam, dl_a))) / m_count
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-12)) ** 3, 1e-4, 1.0)
+        # corrector
+        rc = msk(_tmap(
+            lambda ss, l, rp, dsa, dla:
+            (sigma * mu - ss * l - dsa * dla + l * rp) / ss,
+            s, lam, r_p, ds_a, dl_a))
+        rhs = _tmap(lambda a, b: -(a + b), r_d, GTmv(rc))
+        dx = solveM(d, rhs)
+        ds = msk(_tmap(lambda rp, g: -rp - g, r_p, Gmv(dx)))
+        dlam = msk(_tmap(
+            lambda ss, l, dsa, dla, dss:
+            (sigma * mu - ss * l - dsa * dla - l * dss) / ss,
+            s, lam, ds_a, dl_a, ds))
+        ap = gate * _TAU * maxstep(s, ds)
+        ad = gate * _TAU * maxstep(lam, dlam)
+        x = _tmap(lambda a, b: a + ap * b, x, dx)
+        s = _tmap(lambda a, b: a + ap * b, s, ds)
+        lam = _tmap(lambda a, b: a + ad * b, lam, dlam)
+        mm_ = merit(x, s, lam)
+        take = mm_ < bm
+        bx = _tmap(lambda n, o: jnp.where(take, n, o), x, bx)
+        bs = _tmap(lambda n, o: jnp.where(take, n, o), s, bs)
+        blam = _tmap(lambda n, o: jnp.where(take, n, o), lam, blam)
+        bm = jnp.minimum(mm_, bm)
+        return (x, s, lam, bx, bs, blam, bm), ()
+
+    init = (x0, s0, lam0, x0, s0, lam0, merit(x0, s0, lam0))
+    (x, s, lam, bx, bs, blam, _), _ = jax.lax.scan(body, init, None,
+                                                   length=qp_iters)
+    return bx, bs
+
+
+# ---------------------------------------------------------------------------
+# the cascade (pure jnp; Pallas wraps this)
+# ---------------------------------------------------------------------------
+
+def _norm_masked(v, mask):
+    return jnp.sqrt(jnp.sum(v * v * mask))
+
+
+def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
+    """Lexicographic 3-level cascade on padded (128,128)/(1,128) buffers.
+    Semantics of wbc.hoqp.hoqp_solve for the WBC stack family
+    (level 0 carries the inequalities; levels 1-2 are equality tasks).
+    Returns x as a (1,128) row vector (36 active lanes)."""
+    eye = _eye()
+    nx = NUM_DECISION_VARS
+    zmask = _lane_mask(nx)
+    vmask = _lane_mask(spec.nv0)
+    eye_z = eye * zmask
+
+    def projector(Az, ma):
+        gram = _dg(Az, Az, ((1,), (1,)))                 # (128,128)
+        tr = jnp.sum(gram * eye)
+        lam_r = _EPS_NULL * (tr / ma + 1.0)
+        graminv = _gj_inverse(gram + lam_r * (eye * _lane_mask(ma)),
+                              ma, eye)
+        U = _mm(graminv, Az)
+        return eye_z - _mmT(Az, U) * zmask
+
+    def level_data(A, b, Z, x):
+        """Az, level Hessian, level gradient — with a kernel ridge.
+
+        The decision z only acts through Zz (objective Az = A Z, carried
+        inequalities B = D Z, update x += Z z all left-multiply by Z), so
+        components of z in ker(Z) are physically inert — yet the bare
+        AzᵀAz + eps I Hessian leaves them pinned only at eps = 1e-6,
+        giving condition numbers ~1e7 that f32 solves turn into junk
+        thousands of times larger than the true solution. Adding
+        kappa (I-Z)ᵀ(I-Z) penalizes exactly those inert directions
+        (for an exact projector, (I-Z)Z = 0 — zero effect on Zz; for the
+        damped projector the leakage is at the 1e-7 damping scale) and
+        brings every level solve to f32-friendly conditioning."""
+        Az = _mm(A, Z)
+        Hz = _mmT(Az, Az) + _EPS_H * eye_z
+        kappa = jnp.sum(Hz * eye) / nx + 1.0
+        W = eye_z - Z
+        Hz = Hz + kappa * _mmT(W, W) * zmask
+        r = _matvec(A, x) - b
+        cz = _vecmat(r, Az) * zmask
+        return Az, Hz, cz
+
+    def init_solve(Hz, cz):
+        H8 = Hz + 1e-8 * eye_z
+        inv0 = _gj_inverse(H8, nx, eye)
+        return _refined_solve(inv0, H8, -cz, zmask)
+
+    def eq_level_solve(Hz, cz, B, h, smask1, m_count):
+        """Level with no new slack: decision z (36), inequalities B z <= h
+        (the level-0 rows carried down through Z)."""
+        def Hmv(z):
+            return _matvec(Hz, z) * zmask
+
+        def Gmv(z):
+            return _dg(z, B, ((1,), (1,))) * smask1
+
+        def GTmv(y):
+            return _vecmat(y, B) * zmask
+
+        def solveM(d, rhs):
+            dgm = eye * d                                # diag(d)
+            S = Hz + _mmT(B, _mm(dgm, B)) * zmask
+            Sinv = _gj_inverse(S, nx, eye)
+            return _refined_solve(Sinv, S, rhs, zmask)
+
+        scale = jnp.maximum(1.0, _norm_masked(cz, zmask))
+        x0 = init_solve(Hz, cz)
+        bx, _ = _ip_solve(x0, cz, h, smask1, m_count, Hmv, Gmv, GTmv,
+                          solveM, scale, spec.qp_iters)
+        return bx
+
+    # ---------------- level 0: (z, v) with slack v ----------------
+    x = jnp.zeros((1, LANES), jnp.float32)
+    Z = eye_z
+    Az0, Hz0, cz0 = level_data(A0, b0, Z, x)
+
+    def Hmv0(xz):
+        z, v = xz
+        return (_matvec(Hz0, z) * zmask, v * vmask)
+
+    def Gmv0(xz):
+        z, v = xz
+        Dz = _dg(z, D, ((1,), (1,)))
+        return (-v * vmask, (Dz - v) * vmask)
+
+    def GTmv0(y):
+        y1, y2 = y
+        return (_vecmat(y2, D) * zmask, (-y1 - y2) * vmask)
+
+    def solveM0(d, rhs):
+        d1, d2 = d
+        rz, rv = rhs
+        mvv = 1.0 + d1 + d2
+        w = d2 * (1.0 + d1) / mvv
+        dgm = eye * w
+        S = Hz0 + _mmT(D, _mm(dgm, D)) * zmask
+        Sinv = _gj_inverse(S, nx, eye)
+        rz_s = rz + _vecmat(d2 * rv / mvv, D) * zmask
+        dz = _refined_solve(Sinv, S, rz_s, zmask)
+        Ddz = _dg(dz, D, ((1,), (1,)))
+        dv = (rv + d2 * Ddz) / mvv * vmask
+        return (dz, dv)
+
+    zeros = jnp.zeros((1, LANES), jnp.float32)
+    c0 = (cz0, zeros)
+    h0 = (zeros, f)
+    smask0 = (vmask, vmask)
+    scale0 = jnp.maximum(1.0, _norm_masked(cz0, zmask))
+    x0_init = (init_solve(Hz0, cz0), zeros)
+    (z0s, v0s), _ = _ip_solve(x0_init, c0, h0, smask0, 2 * spec.nv0,
+                              Hmv0, Gmv0, GTmv0, solveM0, scale0,
+                              spec.qp_iters)
+    x = x + _dg(z0s, Z, ((1,), (1,)))
+    Z = _mm(Z, projector(Az0, spec.ma0))
+
+    # ---------------- level 1 ----------------
+    Az1, Hz1, cz1 = level_data(A1, b1, Z, x)
+    B1 = _mm(D, Z)
+    h1 = (f - _dg(x, D, ((1,), (1,))) + v0s) * vmask
+    z1s = eq_level_solve(Hz1, cz1, B1, h1, vmask, spec.nv0)
+    x = x + _dg(z1s, Z, ((1,), (1,)))
+    Z = _mm(Z, projector(Az1, spec.ma1))
+
+    # ---------------- level 2 ----------------
+    Az2, Hz2, cz2 = level_data(A2, b2, Z, x)
+    B2 = _mm(D, Z)
+    h2 = (f - _dg(x, D, ((1,), (1,))) + v0s) * vmask
+    z2s = eq_level_solve(Hz2, cz2, B2, h2, vmask, spec.nv0)
+    x = x + _dg(z2s, Z, ((1,), (1,)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# padding + entry points
+# ---------------------------------------------------------------------------
+
+def _pad_mat(M):
+    r, c = M.shape
+    return jnp.zeros((LANES, LANES), jnp.float32).at[:r, :c].set(M)
+
+
+def _pad_vec(v):
+    return jnp.zeros((1, LANES), jnp.float32).at[0, :v.shape[0]].set(v)
+
+
+def _padded_operands(t0: Task, t1: Task, t2: Task):
+    spec = FusedCascadeSpec(ma0=t0.A.shape[0], nv0=t0.D.shape[0],
+                            ma1=t1.A.shape[0], ma2=t2.A.shape[0])
+    ops = (_pad_mat(t0.A), _pad_vec(t0.b), _pad_mat(t0.D), _pad_vec(t0.f),
+           _pad_mat(t1.A), _pad_vec(t1.b), _pad_mat(t2.A), _pad_vec(t2.b))
+    return ops, spec
+
+
+def fused_hoqp_reference(t0: Task, t1: Task, t2: Task,
+                         qp_iters: int = 15) -> jnp.ndarray:
+    """The kernel math as plain XLA (CPU tests / debugging). Returns the
+    (36,) decision vector."""
+    ops, spec = _padded_operands(t0, t1, t2)
+    spec = spec._replace(qp_iters=qp_iters)
+    x = _cascade_math(*ops, spec)
+    return x[0, :NUM_DECISION_VARS]
+
+
+@partial(jax.jit, static_argnums=(8,))
+def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(A0r, b0r, Dr, fr, A1r, b1r, A2r, b2r, out_ref):
+        out_ref[:] = _cascade_math(A0r[:], b0r[:], Dr[:], fr[:], A1r[:],
+                                   b1r[:], A2r[:], b2r[:], spec)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+        in_specs=[vspec] * 8,
+        out_specs=vspec,
+    )(A0, b0, D, f, A1, b1, A2, b2)
+
+
+def fused_hoqp(t0: Task, t1: Task, t2: Task,
+               qp_iters: int = 15) -> jnp.ndarray:
+    """Solve the 3-level cascade in one Pallas kernel; returns the (36,)
+    decision vector (drop-in for wbc.hoqp.hoqp_solve on this stack
+    family: level 0 owns all inequalities, levels 1-2 are equality
+    tasks). On non-TPU backends (CPU tests) the same math runs as plain
+    XLA — identical results, no Mosaic."""
+    assert t1.D.shape[0] == 0 and t2.D.shape[0] == 0, (
+        "fused cascade supports inequalities at level 0 only")
+    if jax.default_backend() not in ("tpu", "axon"):
+        return fused_hoqp_reference(t0, t1, t2, qp_iters)
+    ops, spec = _padded_operands(t0, t1, t2)
+    spec = spec._replace(qp_iters=qp_iters)
+    x = _fused_call(*ops, spec)
+    return x[0, :NUM_DECISION_VARS]

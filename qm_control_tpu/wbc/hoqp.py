@@ -37,6 +37,39 @@ def _kernel_projector(Az):
     return jnp.eye(n, dtype=Az.dtype) - Az.T @ inv
 
 
+def _kernel_basis(Az, rel_tol=1e-5):
+    """Orthonormal basis of ker(Az) as an (nx, nx) matrix whose non-kernel
+    columns are EXACT zeros (static shapes, dynamic rank mask).
+
+    Why not the damped projector: composing square damped projectors
+    leaves the pruned directions present at the ~1e-7 damping scale, so
+    every later level's Hessian mixes them in numerically and the ridge
+    (_EPS_H) is all that pins them — f32 solves then amplify rounding
+    noise by 1/eps into torque-scale junk (measured ~30 Nm vs an f64
+    ground truth on live walking stacks, tests/helpers_f64.py). With an
+    orthonormal basis whose masked columns are exact zeros, the inert
+    coordinates stay EXACTLY zero through the whole interior-point
+    iteration (their gradient, constraint and Hessian couplings are exact
+    zeros), independent of eps.
+
+    Rank detection: task rows are either genuine or exact zeros (contact
+    masking multiplies whole rows by 0), so sorting rows by norm moves
+    the zero rows last and plain Householder QR of the transposed sorted
+    rows is rank-revealing; |R_ii| <= rel_tol * max|R_ii| marks the
+    kernel columns. Mirrors the role of the reference's full-pivot LU
+    kernel basis (qm_wbc/src/HoQp.cpp:126-133) with jit-static shapes."""
+    m, n = Az.shape
+    order = jnp.argsort(-jnp.sum(Az * Az, axis=1))
+    Az_sorted = Az[order]
+    Q, R = jnp.linalg.qr(Az_sorted.T, mode="complete")   # (n,n), (n,m)
+    k = min(m, n)
+    diag = jnp.abs(jnp.diagonal(R)[:k])
+    tol = rel_tol * (jnp.max(diag) + 1e-30)
+    rank = jnp.sum(diag > tol)
+    colmask = (jnp.arange(n) >= rank).astype(Az.dtype)
+    return Q * colmask[None, :]
+
+
 def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):
     """Solve the lexicographic cascade; tasks ordered highest priority
     first. Returns the optimal decision vector x (36,).
@@ -94,5 +127,5 @@ def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):
         if nv > 0:
             prev.append((task.D, task.f, v))
         if ma > 0:
-            Z = Z @ _kernel_projector(Az)
+            Z = Z @ _kernel_basis(Az)
     return x

@@ -46,6 +46,17 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
     dtype = c.dtype
     eye_n = jnp.eye(n, dtype=dtype)
 
+    # Jacobi equilibration: x = S x'', S = diag(1/sqrt(H_kk)). A pure
+    # reparameterization (exact solution unchanged), but it flattens the
+    # 1e10 spread between heavily-weighted task rows (swing x100 -> 1e4
+    # in H) and ridge-only dims (H_kk = 1e-6) to a unit diagonal — the
+    # spread otherwise turns f32 factorizations into torque-scale noise
+    # (measured vs the f64 referee in tests/helpers_f64.py).
+    s_eq = jax.lax.rsqrt(jnp.clip(jnp.diagonal(H), 1e-12, None))
+    H = H * s_eq[:, None] * s_eq[None, :]
+    c = c * s_eq
+    G = G * s_eq[None, :]
+
     x0 = jnp.linalg.solve(H + 1e-8 * eye_n, -c)
     s0 = jnp.maximum(h - G @ x0, 1.0)
     lam0 = jnp.ones(m, dtype=dtype)
@@ -107,7 +118,8 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
     init = (x0, s0, lam0, x0, s0, lam0, merit(x0, s0, lam0))
     (x, s, lam, bx, bs, blam, _), _ = jax.lax.scan(body, init, None,
                                                    length=num_iters)
-    return QpSolution(x=bx, lam=blam, s=bs, gap=jnp.dot(bs, blam) / m)
+    return QpSolution(x=bx * s_eq, lam=blam, s=bs,
+                      gap=jnp.dot(bs, blam) / m)
 
 
 def solve_eq_qp(H, c):

@@ -56,13 +56,18 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
                             gains: WbcGains, tau_max,
                             state_des, input_des, input_last,
                             q, v, contact_flags, period, time,
-                            ee_wrench=None) -> WbcResult:
+                            ee_wrench=None,
+                            fused_cascade: bool = False) -> WbcResult:
     """One WBC solve. Mirrors HierarchicalWbc::update (reference :18-44).
 
     ee_wrench: optional measured world-frame wrench [f(3); tau(3)] applied
     at the arm EE (force-sensor input); enters the EoM, torque limits and
     torque recovery (BASELINE config #4; reference WbcBase.cpp:338-383
-    task structure)."""
+    task structure).
+
+    fused_cascade: solve the cascade with the single Pallas kernel
+    (kernels.hoqp_fused) instead of the XLA op-per-op cascade — the
+    B=1 real-time path; the vmapped batch path keeps the XLA cascade."""
     from .tasks import compute_wbc_data
     m, d = compute_wbc_data(model, info, state_des, input_des, input_last,
                             q, v, contact_flags, period)
@@ -102,7 +107,11 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
     t2 = contact_force_task(m, input_des) + base_linear_task(
         m, d, gains.kp_base_linear, gains.kd_base_linear)
 
-    x_opt = hoqp_solve([t0, t1, t2])
+    if fused_cascade:
+        from ..kernels.hoqp_fused import fused_hoqp
+        x_opt = fused_hoqp(t0, t1, t2)
+    else:
+        x_opt = hoqp_solve([t0, t1, t2])
     tau = recover_torques(m, x_opt, ee_wrench)
     return WbcResult(x_opt=x_opt, torques=tau, vdot=x_opt[:24],
                      forces=x_opt[24:])
@@ -112,7 +121,8 @@ def hierarchical_mpc_wbc_update(model: RobotModel, info: C.CentroidalInfo,
                                 gains: WbcGains, tau_max,
                                 state_des, input_des, input_last,
                                 q, v, contact_flags, period,
-                                ee_wrench=None) -> WbcResult:
+                                ee_wrench=None,
+                                fused_cascade: bool = False) -> WbcResult:
     """MPC-only variant: no arm/EE tasks (reference
     HierarchicalMpcWbc.cpp:18-34 — arm handled by position controllers)."""
     from .tasks import compute_wbc_data
@@ -129,7 +139,11 @@ def hierarchical_mpc_wbc_update(model: RobotModel, info: C.CentroidalInfo,
           + swing_leg_task(m, d, gains.kp_swing,
                            gains.kd_swing).scaled(gains.swing_task_weight))
     t2 = contact_force_task(m, input_des)
-    x_opt = hoqp_solve([t0, t1, t2])
+    if fused_cascade:
+        from ..kernels.hoqp_fused import fused_hoqp
+        x_opt = fused_hoqp(t0, t1, t2)
+    else:
+        x_opt = hoqp_solve([t0, t1, t2])
     tau = recover_torques(m, x_opt, ee_wrench)
     return WbcResult(x_opt=x_opt, torques=tau, vdot=x_opt[:24],
                      forces=x_opt[24:])
