@@ -247,3 +247,43 @@ def batched_rollouts(cfg: Optional[QmConfig] = None, batch: int = 64,
         "cost_mean": float(np.nanmean(costs)),
         "cost_p95": float(np.nanpercentile(costs, 95)),
     }
+
+
+def mpc_variant_standing(cfg: Optional[QmConfig] = None,
+                         duration: float = 2.0, warmup: int = 25,
+                         transient: float = 0.5) -> dict:
+    """QMMpcController-variant validation (reference
+    QMController.cpp:368-445): legs driven by HierarchicalMpcWbc hybrid
+    commands, arm under gazebo-style position PIDs tracking integrated
+    MPC joint velocities. Standing stance; checks the base holds height
+    and the arm follows the MPC plan."""
+    from .runtime.mpc_loop import MpcControlLoop
+    cfg = cfg or _default_cfg()
+    model, info, q0, s = _standing_setup(cfg)
+    loop = MpcControlLoop(model, info, cfg, LoopConfig())
+    ms = GaitSchedule(GAIT_LIBRARY["stance"]).mode_schedule(0.0,
+                                                           duration + 5)
+    target = target_from_knots([0.0, duration + 5], [s, s])
+    carry = loop.init_carry(q0)
+    carry = loop.warmup(carry, target, ms, num_solves=warmup)
+    chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
+    pos_errs, heights, arm_errs, safes = [], [], [], []
+    log = TrajectoryLog()
+    while float(carry.base.t) < duration:
+        carry, m = loop.run(carry, target, ms, chunk, log=log)
+        if float(carry.base.t) > transient:
+            pos_errs.append(float(np.asarray(m.ee_pos_err)[-1]))
+            heights.append(float(np.asarray(m.base_height)[-1]))
+            arm_err = np.abs(np.asarray(carry.base.plant.q[18:24])
+                             - np.asarray(carry.arm_cmd))
+            arm_errs.append(float(arm_err.max()))
+        safes.append(bool(np.asarray(m.safe)[-1]))
+    return {
+        "experiment": "mpc_variant_standing",
+        "ee_pos_err_max_mm": 1e3 * max(pos_errs),
+        "base_height_err_max_mm": 1e3 * float(np.max(np.abs(
+            np.asarray(heights) - 0.4))),
+        "arm_track_err_max_rad": max(arm_errs),
+        "safe": all(safes),
+        "log": log,
+    }
