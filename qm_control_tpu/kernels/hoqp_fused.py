@@ -157,6 +157,64 @@ def _refined_solve(Minv, M, rhs, mask):
     return x + _matvec(Minv, r) * mask
 
 
+def _kernel_basis_qr(Az, n_steps, eye, nx, rel_tol=1e-5):
+    """Orthonormal basis of ker(Az) with exact-zero non-kernel columns —
+    the in-kernel counterpart of wbc.hoqp._kernel_basis.
+
+    Column-pivoted Householder QR of B = Az' (z-space rows x task-row
+    columns): each of the `n_steps` static steps picks the remaining
+    column of largest norm (rank-revealing, handles the exact-zero
+    masked task rows in any order), reflects it onto e_step, and
+    accumulates Q by rank-1 updates. Numerical rank = #steps whose pivot
+    column norm exceeds rel_tol * (largest norm); the kernel basis is
+    Q's trailing (nx - rank) columns, zeroed elsewhere.
+    """
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+    B = _mmT(Az, eye)                     # Az' (z rows, task-row lanes)
+    Q = eye * _lane_mask(nx)
+    unproc = _lane_mask(n_steps)          # candidate task-row columns
+    rank = jnp.zeros((), jnp.float32)
+    # tolerance anchor: largest initial column norm (~ max |R_ii|,
+    # matching wbc.hoqp._kernel_basis's diagonal-relative threshold)
+    norm0 = jnp.sqrt(jnp.max(jnp.sum(B * B, axis=0) * unproc[0]) + 1e-30)
+
+    def step(k, carry):
+        B, Q, unproc, rank = carry
+        rowmask = (sub_ids >= k).astype(jnp.float32)       # rows k..
+        sq = B * B * rowmask
+        norms = jnp.sum(sq, axis=0, keepdims=True)         # (1,128)
+        cand = jnp.where(unproc > 0, norms, -1.0)
+        jc = jnp.argmax(cand[0], axis=0)
+        onehot_l = (lane_ids == jc).astype(jnp.float32)    # (1,128)
+        col_norm2 = jnp.sum(norms * onehot_l)
+        is_rank = (jnp.sqrt(col_norm2)
+                   > rel_tol * norm0).astype(jnp.float32)
+        onehot_c = (sub_ids == jc).astype(jnp.float32)     # (128,1)
+        v0 = _dg(B, onehot_c, ((1,), (0,)))                # (128,1)
+        v = v0 * rowmask
+        alpha = jnp.sqrt(col_norm2 + 1e-30)
+        head = jnp.sum(v * (sub_ids == k).astype(jnp.float32))
+        sgn = jnp.where(head >= 0, 1.0, -1.0)
+        v = v + sgn * alpha * (sub_ids == k).astype(jnp.float32)
+        vtv = jnp.sum(v * v)
+        beta = jnp.where(vtv > 1e-30, 2.0 / vtv, 0.0) * is_rank
+        vtB = _dg(v, B, ((0,), (0,)))                      # (1,128)
+        B = B - v * (beta * vtB)
+        Qv = _dg(Q, v, ((1,), (0,)))                       # (128,1)
+        vrow = _dg(v, eye, ((0,), (0,)))                   # (1,128)
+        Q = Q - Qv * (beta * vrow)
+        unproc = unproc * (1.0 - onehot_l)
+        rank = rank + is_rank
+        return (B, Q, unproc, rank)
+
+    B, Q, unproc, rank = jax.lax.fori_loop(0, n_steps, step,
+                                           (B, Q, unproc, rank))
+    colmask = ((lane_ids.astype(jnp.float32) >= rank)
+               & (lane_ids < nx)).astype(jnp.float32)
+    return Q * colmask
+
+
 # ---------------------------------------------------------------------------
 # generic masked interior-point solve (pytree state spaces)
 # ---------------------------------------------------------------------------
@@ -279,33 +337,16 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     vmask = _lane_mask(spec.nv0)
     eye_z = eye * zmask
 
-    def projector(Az, ma):
-        gram = _dg(Az, Az, ((1,), (1,)))                 # (128,128)
-        tr = jnp.sum(gram * eye)
-        lam_r = _EPS_NULL * (tr / ma + 1.0)
-        graminv = _gj_inverse(gram + lam_r * (eye * _lane_mask(ma)),
-                              ma, eye)
-        U = _mm(graminv, Az)
-        return eye_z - _mmT(Az, U) * zmask
-
     def level_data(A, b, Z, x):
-        """Az, level Hessian, level gradient — with a kernel ridge.
+        """Az, level Hessian, level gradient.
 
-        The decision z only acts through Zz (objective Az = A Z, carried
-        inequalities B = D Z, update x += Z z all left-multiply by Z), so
-        components of z in ker(Z) are physically inert — yet the bare
-        AzᵀAz + eps I Hessian leaves them pinned only at eps = 1e-6,
-        giving condition numbers ~1e7 that f32 solves turn into junk
-        thousands of times larger than the true solution. Adding
-        kappa (I-Z)ᵀ(I-Z) penalizes exactly those inert directions
-        (for an exact projector, (I-Z)Z = 0 — zero effect on Zz; for the
-        damped projector the leakage is at the 1e-7 damping scale) and
-        brings every level solve to f32-friendly conditioning."""
+        Z is the orthonormal masked kernel basis (exact-zero columns for
+        pruned directions, mirroring wbc.hoqp._kernel_basis), so the
+        inert coordinates have EXACTLY zero gradient/Hessian couplings
+        and stay exactly zero through the IP — no 1/eps noise
+        amplification."""
         Az = _mm(A, Z)
         Hz = _mmT(Az, Az) + _EPS_H * eye_z
-        kappa = jnp.sum(Hz * eye) / nx + 1.0
-        W = eye_z - Z
-        Hz = Hz + kappa * _mmT(W, W) * zmask
         r = _matvec(A, x) - b
         cz = _vecmat(r, Az) * zmask
         return Az, Hz, cz
@@ -381,7 +422,7 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
                               Hmv0, Gmv0, GTmv0, solveM0, scale0,
                               spec.qp_iters)
     x = x + _dg(z0s, Z, ((1,), (1,)))
-    Z = _mm(Z, projector(Az0, spec.ma0))
+    Z = _mm(Z, _kernel_basis_qr(Az0, spec.ma0, eye, nx))
 
     # ---------------- level 1 ----------------
     Az1, Hz1, cz1 = level_data(A1, b1, Z, x)
@@ -389,7 +430,7 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     h1 = (f - _dg(x, D, ((1,), (1,))) + v0s) * vmask
     z1s = eq_level_solve(Hz1, cz1, B1, h1, vmask, spec.nv0)
     x = x + _dg(z1s, Z, ((1,), (1,)))
-    Z = _mm(Z, projector(Az1, spec.ma1))
+    Z = _mm(Z, _kernel_basis_qr(Az1, spec.ma1, eye, nx))
 
     # ---------------- level 2 ----------------
     Az2, Hz2, cz2 = level_data(A2, b2, Z, x)

@@ -25,6 +25,8 @@ from .tasks import NUM_DECISION_VARS, Task
 
 _EPS_H = 1e-6       # ridge on the level Hessian (HoQp.cpp:70 uses 1e-12)
 _EPS_NULL = 1e-7    # damping of the null-space projector
+USE_QR_BASIS = True  # exact-zero kernel basis vs damped projector
+                     # (trace-time switch; see _kernel_basis)
 
 
 def _kernel_projector(Az):
@@ -127,5 +129,6 @@ def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):
         if nv > 0:
             prev.append((task.D, task.f, v))
         if ma > 0:
-            Z = Z @ _kernel_basis(Az)
+            Z = Z @ (_kernel_basis(Az) if USE_QR_BASIS
+                     else _kernel_projector(Az))
     return x

@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+EQUILIBRATE = True   # Jacobi equilibration (trace-time switch)
+
 
 class QpSolution(NamedTuple):
     x: jnp.ndarray          # (n,) primal solution
@@ -52,10 +54,13 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
     # in H) and ridge-only dims (H_kk = 1e-6) to a unit diagonal — the
     # spread otherwise turns f32 factorizations into torque-scale noise
     # (measured vs the f64 referee in tests/helpers_f64.py).
-    s_eq = jax.lax.rsqrt(jnp.clip(jnp.diagonal(H), 1e-12, None))
-    H = H * s_eq[:, None] * s_eq[None, :]
-    c = c * s_eq
-    G = G * s_eq[None, :]
+    if EQUILIBRATE:
+        s_eq = jax.lax.rsqrt(jnp.clip(jnp.diagonal(H), 1e-12, None))
+        H = H * s_eq[:, None] * s_eq[None, :]
+        c = c * s_eq
+        G = G * s_eq[None, :]
+    else:
+        s_eq = jnp.ones(n, dtype=dtype)
 
     x0 = jnp.linalg.solve(H + 1e-8 * eye_n, -c)
     s0 = jnp.maximum(h - G @ x0, 1.0)

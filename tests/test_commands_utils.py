@@ -93,6 +93,7 @@ def test_support_polygon_and_cop():
     assert hull3.shape[0] == 2
 
 
+@pytest.mark.heavy
 def test_mrt_async_interface(model):
     """Async MPC thread: observation in -> policy out, no control-thread
     blocking (tiny horizon for CPU speed)."""

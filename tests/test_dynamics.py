@@ -3,6 +3,7 @@ centroidal momentum consistency, gravity force sanity."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qm_control_tpu.models import NQ, default_q
 from qm_control_tpu.models import dynamics as D
@@ -42,6 +43,7 @@ def test_nle_matches_gravity_at_rest(model, rng):
     np.testing.assert_allclose(np.asarray(h), np.asarray(g), atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_energy_conservation(model, rng):
     """Unforced dynamics conserve total energy (RK4, double precision step)."""
     q, v = rand_qv(rng, scale=0.2)

@@ -49,6 +49,7 @@ def solution(model):
     return pol
 
 
+@pytest.mark.heavy
 def test_golden_standing_solution(solution):
     probe = {
         "cost": float(solution.cost),

@@ -121,6 +121,7 @@ def wbc_stacks():
     return build
 
 
+@pytest.mark.heavy
 def test_fused_stance_torque_agreement(wbc_stacks):
     m_, (t0, t1, t2) = wbc_stacks(jnp.ones(4), jnp.zeros(24))
     x_ref = hoqp_solve([t0, t1, t2])
@@ -147,6 +148,7 @@ def test_fused_trot_torques_sane(wbc_stacks):
     assert np.max(np.abs(tau_r - tau_f)) < 10.0
 
 
+@pytest.mark.heavy
 def test_wbc_update_fused_flag(wbc_stacks):
     """hierarchical_wbc_update(fused_cascade=True) runs end to end and
     agrees with the XLA path on a stance stack."""

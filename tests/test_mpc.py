@@ -43,6 +43,7 @@ def _standing_target(x):
     return target_from_knots([0.0, 2.0], [s, s])
 
 
+@pytest.mark.heavy
 def test_standing_mpc_solve(model, info, small_cfg):
     x0 = _standing_state()
     target = _standing_target(x0)
@@ -63,6 +64,7 @@ def test_standing_mpc_solve(model, info, small_cfg):
     assert (np.asarray(policy.modes) == 15).all()
 
 
+@pytest.mark.heavy
 def test_warm_started_resolve_and_policy_eval(model, info, small_cfg):
     x0 = _standing_state()
     target = _standing_target(x0)

@@ -48,6 +48,7 @@ def _make_batch(B, cfg):
         X_warm=tile(jnp.tile(x0[None], (N + 1, 1))))
 
 
+@pytest.mark.heavy
 def test_batched_mpc_matches_per_scenario(model, info, small_cfg):
     B = 4
     batch = _make_batch(B, small_cfg)
@@ -63,6 +64,7 @@ def test_batched_mpc_matches_per_scenario(model, info, small_cfg):
                            np.asarray(batch.W_warm))
 
 
+@pytest.mark.heavy
 def test_sharded_step_over_mesh(model, info, small_cfg):
     assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
     mesh = make_mesh(jax.devices()[:8])

@@ -63,6 +63,7 @@ def test_plant_pd_hold_stands(model):
                                rtol=0.15)
 
 
+@pytest.mark.heavy
 def test_plant_actuation_delay(model):
     """The delay line replays commands delay_steps old."""
     q0 = _standing_q()

@@ -93,6 +93,7 @@ def test_torque_recovery_consistency(model, info, standing, wbc_result):
                                np.asarray(wbc_result.torques), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_arm_settling_phase_tracks_joints(model, info, standing):
     """t < 10 s: T1 is arm-joint nominal tracking; perturbed arm joints
     produce accelerations pulling back toward the nominal."""
@@ -107,6 +108,7 @@ def test_arm_settling_phase_tracks_joints(model, info, standing):
     assert float(res.vdot[18]) < -10.0
 
 
+@pytest.mark.heavy
 def test_ee_wrench_enters_eom(model, info, standing):
     """With a measured EE wrench, the solved EoM balances
     Mb vdot - Jb' F + hb = (J_ee' w)[:6]  (reference WbcBase.cpp:338-383
