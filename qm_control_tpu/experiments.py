@@ -73,9 +73,9 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
         safes.append(bool(np.asarray(m.safe)[-1]))
     return {
         "experiment": f"standing_ee_hold[{gait}]",
-        "ee_pos_err_max_mm": 1e3 * max(pos_errs),
+        "ee_pos_err_max_mm": 1e3 * float(np.max(pos_errs)),
         "ee_pos_err_mean_mm": 1e3 * float(np.mean(pos_errs)),
-        "ee_ori_err_max_deg": float(np.degrees(max(ori_errs))),
+        "ee_ori_err_max_deg": float(np.degrees(np.max(ori_errs))),
         "safe": all(safes),
         "reference_target_mm": 3.5,
         "reference_target_deg": 2.6,
@@ -118,8 +118,8 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
                                       x_obs, ee_state, cfg.reference)
         carry, m = loop.run(carry, target, ms, num_cycles=chunk, log=log)
         if float(carry.t) > 0.6:
-            worst_pos = max(worst_pos, float(np.nanmax(m.ee_pos_err)))
-            worst_ori = max(worst_ori, float(np.nanmax(m.ee_ori_err)))
+            worst_pos = max(worst_pos, float(np.max(m.ee_pos_err)))
+            worst_ori = max(worst_ori, float(np.max(m.ee_ori_err)))
         if not bool(np.asarray(m.safe)[-1]):
             break
     return {
@@ -163,7 +163,7 @@ def ee_tracking(cfg: Optional[QmConfig] = None, duration: float = 4.0,
             errs.append(float(np.asarray(m.ee_pos_err)[-1]))
     return {
         "experiment": "ee_tracking",
-        "ee_pos_err_max_mm": 1e3 * max(errs),
+        "ee_pos_err_max_mm": 1e3 * float(np.max(errs)),
         "ee_pos_err_mean_mm": 1e3 * float(np.mean(errs)),
         "safe": bool(np.asarray(carry.safe)),
     }
@@ -280,10 +280,10 @@ def mpc_variant_standing(cfg: Optional[QmConfig] = None,
         safes.append(bool(np.asarray(m.safe)[-1]))
     return {
         "experiment": "mpc_variant_standing",
-        "ee_pos_err_max_mm": 1e3 * max(pos_errs),
+        "ee_pos_err_max_mm": 1e3 * float(np.max(pos_errs)),
         "base_height_err_max_mm": 1e3 * float(np.max(np.abs(
             np.asarray(heights) - 0.4))),
-        "arm_track_err_max_rad": max(arm_errs),
+        "arm_track_err_max_rad": float(np.max(arm_errs)),
         "safe": all(safes),
         "log": log,
     }

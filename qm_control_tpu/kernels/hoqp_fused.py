@@ -106,21 +106,35 @@ def _eye():
             ).astype(jnp.float32)
 
 
+def _onehot_max(cand, sub_ids):
+    """One-hot (128,1) selector of the max entry of cand (128,1), ties
+    broken toward the smallest index — no argmax / dynamic indexing
+    (Mosaic lowers neither on values)."""
+    m = jnp.max(cand)
+    ismax = (cand >= m).astype(jnp.float32)
+    score = ismax * (LANES - sub_ids).astype(jnp.float32)
+    m2 = jnp.max(score)
+    return (score >= m2).astype(jnp.float32) * ismax
+
+
 def _gj_inverse(M, n_steps, eye):
     """Invert the leading (n_steps, n_steps) SPD block of M via
-    Gauss-Jordan with diagonal (complete, for SPD) pivoting on the
-    augmented [M | I] buffer. GJ computes the inverse regardless of
-    elimination order, so picking the largest remaining diagonal each
-    step costs only a diag extraction + argmax and recovers
+    Gauss-Jordan with diagonal (complete, for SPD) pivoting — recovers
     Cholesky-with-pivoting-level stability on the near-rank-deficient
-    projected Hessians the cascade produces (eigenvalues down at the
-    _EPS_H ridge). Rows/cols >= n_steps must be zero (never pivoted; the
-    identity right half keeps their inverse rows at e_j, which
-    downstream masked matvecs ignore)."""
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (2 * LANES, 1), 0)
+    projected Hessians the cascade produces.
+
+    Mosaic-safe formulation: the augmented buffer is kept as two
+    (128,128) halves (no concatenate), and the pivot row/column are
+    selected through a one-hot (128,1) vector that doubles as a sublane
+    mask (row write) and a lane contractor (column extraction) — no
+    argmax, no dynamic_slice. Rows/cols >= n_steps must be zero (never
+    pivoted; the identity right half keeps their inverse rows at e_j,
+    which downstream masked matvecs ignore)."""
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
     active = (sub_ids < n_steps).astype(jnp.float32)
-    aug = jnp.concatenate([M, eye], axis=1)
+    neg = jnp.float32(-3e38)
+    L = M
+    R = eye
     elim = jnp.zeros((LANES, 1), jnp.float32)
     # pivot magnitude floor: f32 cancellation can drive a near-singular
     # Schur-complement diagonal to ~0; flooring avoids inf/NaN at the
@@ -128,24 +142,25 @@ def _gj_inverse(M, n_steps, eye):
     floor = 1e-10 * (jnp.sum(jnp.abs(M * eye)) / n_steps + 1.0)
 
     def step(_, carry):
-        aug, elim = carry
-        diag = jnp.sum(aug[:, :LANES] * eye, axis=1, keepdims=True)
-        cand = jnp.where((elim > 0) | (active == 0), -jnp.inf, diag)
-        j = jnp.argmax(cand, axis=0)[0]
-        onehot = (lane_ids == j).astype(jnp.float32)            # (2L,1)
-        col = _dg(aug, onehot, ((1,), (0,)))                    # (128,1)
-        row = jax.lax.dynamic_slice(aug, (j, 0), (1, 2 * LANES))
-        piv = _dg(row, onehot, ((1,), (0,)))                    # (1,1)
+        L, R, elim = carry
+        diag = jnp.sum(L * eye, axis=1, keepdims=True)          # (128,1)
+        cand = jnp.where((elim > 0) | (active == 0), neg, diag)
+        onehot = _onehot_max(cand, sub_ids)                     # (128,1)
+        colL = _dg(L, onehot, ((1,), (0,)))                     # (128,1)
+        rowL = _dg(onehot, L, ((0,), (0,)))                     # (1,128)
+        rowR = _dg(onehot, R, ((0,), (0,)))
+        piv = jnp.sum(colL * onehot)
         piv = jnp.where(jnp.abs(piv) < floor,
                         jnp.where(piv < 0, -floor, floor), piv)
-        r = row / piv
-        aug = aug - col * r
-        aug = jax.lax.dynamic_update_slice(aug, r, (j, 0))
-        elim = elim + (sub_ids == j).astype(jnp.float32)
-        return (aug, elim)
+        rL = rowL / piv
+        rR = rowR / piv
+        L = jnp.where(onehot > 0, rL, L - colL * rL)
+        R = jnp.where(onehot > 0, rR, R - colL * rR)
+        elim = elim + onehot
+        return (L, R, elim)
 
-    aug, _ = jax.lax.fori_loop(0, n_steps, step, (aug, elim))
-    return aug[:, LANES:]
+    L, R, elim = jax.lax.fori_loop(0, n_steps, step, (L, R, elim))
+    return R
 
 
 def _refined_solve(Minv, M, rhs, mask):
@@ -185,12 +200,15 @@ def _kernel_basis_qr(Az, n_steps, eye, nx, rel_tol=1e-5):
         sq = B * B * rowmask
         norms = jnp.sum(sq, axis=0, keepdims=True)         # (1,128)
         cand = jnp.where(unproc > 0, norms, -1.0)
-        jc = jnp.argmax(cand[0], axis=0)
-        onehot_l = (lane_ids == jc).astype(jnp.float32)    # (1,128)
+        # one-hot lane selector of the max column (no argmax in Mosaic)
+        mx = jnp.max(cand)
+        ismax = (cand >= mx).astype(jnp.float32)
+        score = ismax * (LANES - lane_ids).astype(jnp.float32)
+        onehot_l = (score >= jnp.max(score)).astype(jnp.float32) * ismax
         col_norm2 = jnp.sum(norms * onehot_l)
         is_rank = (jnp.sqrt(col_norm2)
                    > rel_tol * norm0).astype(jnp.float32)
-        onehot_c = (sub_ids == jc).astype(jnp.float32)     # (128,1)
+        onehot_c = _dg(eye, onehot_l, ((1,), (1,)))        # (128,1)
         v0 = _dg(B, onehot_c, ((1,), (0,)))                # (128,1)
         v = v0 * rowmask
         alpha = jnp.sqrt(col_norm2 + 1e-30)
@@ -272,7 +290,7 @@ def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
                                    jax.tree_util.tree_leaves(r_p)))
         gate = jnp.where((mu < _GATE_TOL * scale)
                          & (rp_max < _GATE_TOL * scale), 0.0, 1.0)
-        d = _tmap(lambda l, ss: jnp.clip(l / ss, 1e-12, 1e8), lam, s)
+        d = _tmap(lambda l, ss: jnp.minimum(jnp.maximum(l / ss, 1e-12), 1e8), lam, s)
         # predictor (affine direction)
         rc_aff = msk(_tmap(lambda ss, l, rp: (-ss * l + l * rp) / ss,
                            s, lam, r_p))
@@ -286,7 +304,7 @@ def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
         mu_aff = _tsum(msk(_tmap(
             lambda ss, dsa, l, dla: (ss + ap_a * dsa) * (l + ad_a * dla),
             s, ds_a, lam, dl_a))) / m_count
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-12)) ** 3, 1e-4, 1.0)
+        sigma = jnp.minimum(jnp.maximum((mu_aff / jnp.maximum(mu, 1e-12)) ** 3, 1e-4), 1.0)
         # corrector
         rc = msk(_tmap(
             lambda ss, l, rp, dsa, dla:
@@ -337,16 +355,32 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     vmask = _lane_mask(spec.nv0)
     eye_z = eye * zmask
 
-    def level_data(A, b, Z, x):
-        """Az, level Hessian, level gradient.
+    def projector(Az, ma):
+        """Damped null-space projector, matching wbc.hoqp's deployed
+        semantics (see USE_QR_BASIS there for why the exact QR kernel
+        basis is NOT used on the closed-loop path)."""
+        gram = _dg(Az, Az, ((1,), (1,)))                 # (128,128)
+        tr = jnp.sum(gram * eye)
+        lam_r = _EPS_NULL * (tr / ma + 1.0)
+        graminv = _gj_inverse(gram + lam_r * (eye * _lane_mask(ma)),
+                              ma, eye)
+        U = _mm(graminv, Az)
+        return eye_z - _mmT(Az, U) * zmask
 
-        Z is the orthonormal masked kernel basis (exact-zero columns for
-        pruned directions, mirroring wbc.hoqp._kernel_basis), so the
-        inert coordinates have EXACTLY zero gradient/Hessian couplings
-        and stay exactly zero through the IP — no 1/eps noise
-        amplification."""
+    def level_data(A, b, Z, x):
+        """Az, level Hessian, level gradient — with a kernel ridge.
+
+        With the damped projector, components of z in ker(Z) are
+        physically inert (everything left-multiplies by Z) yet pinned
+        only at eps = 1e-6 — f32 condition ~1e7. kappa (I-Z)'(I-Z)
+        penalizes exactly those inert directions ((I-Z)Z = 0 for an
+        exact projector; ~1e-7 leakage for the damped one) and brings
+        the level solves to f32-friendly conditioning."""
         Az = _mm(A, Z)
         Hz = _mmT(Az, Az) + _EPS_H * eye_z
+        kappa = jnp.sum(Hz * eye) / nx + 1.0
+        W = eye_z - Z
+        Hz = Hz + kappa * _mmT(W, W) * zmask
         r = _matvec(A, x) - b
         cz = _vecmat(r, Az) * zmask
         return Az, Hz, cz
@@ -422,7 +456,7 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
                               Hmv0, Gmv0, GTmv0, solveM0, scale0,
                               spec.qp_iters)
     x = x + _dg(z0s, Z, ((1,), (1,)))
-    Z = _mm(Z, _kernel_basis_qr(Az0, spec.ma0, eye, nx))
+    Z = _mm(Z, projector(Az0, spec.ma0))
 
     # ---------------- level 1 ----------------
     Az1, Hz1, cz1 = level_data(A1, b1, Z, x)
@@ -430,7 +464,7 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     h1 = (f - _dg(x, D, ((1,), (1,))) + v0s) * vmask
     z1s = eq_level_solve(Hz1, cz1, B1, h1, vmask, spec.nv0)
     x = x + _dg(z1s, Z, ((1,), (1,)))
-    Z = _mm(Z, _kernel_basis_qr(Az1, spec.ma1, eye, nx))
+    Z = _mm(Z, projector(Az1, spec.ma1))
 
     # ---------------- level 2 ----------------
     Az2, Hz2, cz2 = level_data(A2, b2, Z, x)
@@ -472,8 +506,10 @@ def fused_hoqp_reference(t0: Task, t1: Task, t2: Task,
     return x[0, :NUM_DECISION_VARS]
 
 
-@partial(jax.jit, static_argnums=(8,))
 def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec):
+    # NOTE: deliberately NOT jax.jit-wrapped — a nested jit becomes a
+    # closed_call primitive that trips XLA's cached-lowering path when
+    # the caller embeds this inside lax.scan; callers are jitted anyway.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -261,7 +261,10 @@ class ControlLoop:
         metrics = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
         if log is not None:
             for i, m in enumerate(out):
-                log.append(float(m.ee_pos_err * 0 + carry.t)
+                # NOTE: the timestamp must come from carry.t alone — any
+                # arithmetic with metric values would propagate a NaN
+                # metric into the time axis and silently corrupt the log
+                log.append(float(carry.t)
                            - (num_cycles - 1 - i) / self.loop_cfg.mpc_freq,
                            **{k: np.asarray(v)
                               for k, v in m._asdict().items()})

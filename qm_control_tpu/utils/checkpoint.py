@@ -25,10 +25,25 @@ def save_pytree(path: str, tree) -> None:
 
 def load_pytree(path: str, like):
     """Load a snapshot saved by save_pytree; `like` supplies the pytree
-    structure (its leaf values are ignored)."""
+    structure (its leaf values are ignored).
+
+    The stored treedef string and leaf count are validated against
+    `like` so structure drift between the writing and reading program
+    versions fails loudly instead of silently misassigning leaves."""
     data = np.load(path)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves_like)
+    n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_stored != n:
+        raise ValueError(
+            f"checkpoint {path} has {n_stored} leaves but the supplied "
+            f"structure expects {n}")
+    if "__treedef__" in data.files:
+        stored = json.loads(bytes(data["__treedef__"]).decode())
+        if stored != _treedef_repr(treedef):
+            raise ValueError(
+                f"checkpoint {path} treedef mismatch:\n  stored:   "
+                f"{stored}\n  expected: {_treedef_repr(treedef)}")
     leaves = [data[f"leaf_{i}"] for i in range(n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

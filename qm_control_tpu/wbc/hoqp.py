@@ -25,8 +25,17 @@ from .tasks import NUM_DECISION_VARS, Task
 
 _EPS_H = 1e-6       # ridge on the level Hessian (HoQp.cpp:70 uses 1e-12)
 _EPS_NULL = 1e-7    # damping of the null-space projector
-USE_QR_BASIS = True  # exact-zero kernel basis vs damped projector
-                     # (trace-time switch; see _kernel_basis)
+USE_QR_BASIS = False  # trace-time switch: exact-zero QR kernel basis vs
+# the damped projector. Default OFF after a round-2 closed-loop study:
+# the exact basis leaves later levels with only the true kernel
+# dimensions, and f32 drift in carried inequalities (h = f - Dx + v*)
+# then presents them with numerically-violated constraints they cannot
+# reach — the fixed-iteration IP pushes its few free dimensions to
+# |z| ~ 1e4 and the loop diverges within ~10 ms of gait. The damped
+# projector's ~1e-7 leakage keeps every constraint direction slightly
+# reachable, diffusing that pressure — an accidental but load-bearing
+# regularization. The QR basis remains available for open-loop use and
+# is exercised by tests/test_kernels.py.
 
 
 def _kernel_projector(Az):
@@ -54,22 +63,20 @@ def _kernel_basis(Az, rel_tol=1e-5):
     iteration (their gradient, constraint and Hessian couplings are exact
     zeros), independent of eps.
 
-    Rank detection: task rows are either genuine or exact zeros (contact
-    masking multiplies whole rows by 0), so sorting rows by norm moves
-    the zero rows last and plain Householder QR of the transposed sorted
-    rows is rank-revealing; |R_ii| <= rel_tol * max|R_ii| marks the
-    kernel columns. Mirrors the role of the reference's full-pivot LU
-    kernel basis (qm_wbc/src/HoQp.cpp:126-133) with jit-static shapes."""
+    Implementation: the same column-pivoted Householder QR the fused
+    Pallas kernel runs (kernels.hoqp_fused._kernel_basis_qr) — a
+    fori_loop of rank-1 reflector updates rather than jnp.linalg.qr,
+    whose LAPACK-style lowering is pathologically slow to compile and
+    run on TPU. Column pivoting by norm makes it rank-revealing (the
+    contact-masked task rows are exact zeros and sort themselves out);
+    pivot norms <= rel_tol * (largest pivot norm) mark kernel columns.
+    Mirrors the role of the reference's full-pivot LU kernel basis
+    (qm_wbc/src/HoQp.cpp:126-133) with jit-static shapes."""
+    from ..kernels.hoqp_fused import LANES, _eye, _kernel_basis_qr
     m, n = Az.shape
-    order = jnp.argsort(-jnp.sum(Az * Az, axis=1))
-    Az_sorted = Az[order]
-    Q, R = jnp.linalg.qr(Az_sorted.T, mode="complete")   # (n,n), (n,m)
-    k = min(m, n)
-    diag = jnp.abs(jnp.diagonal(R)[:k])
-    tol = rel_tol * (jnp.max(diag) + 1e-30)
-    rank = jnp.sum(diag > tol)
-    colmask = (jnp.arange(n) >= rank).astype(Az.dtype)
-    return Q * colmask[None, :]
+    Azp = jnp.zeros((LANES, LANES), jnp.float32).at[:m, :n].set(Az)
+    K = _kernel_basis_qr(Azp, m, _eye(), n, rel_tol=rel_tol)
+    return K[:n, :n].astype(Az.dtype)
 
 
 def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):

@@ -28,6 +28,55 @@ import jax.numpy as jnp
 EQUILIBRATE = True   # Jacobi equilibration (trace-time switch)
 
 
+def _pd_inverse(M):
+    """Inverse of a nominally-PD matrix by Gauss-Jordan with diagonal
+    pivoting and a pivot floor — the no-NaN replacement for cho_factor.
+
+    Why not Cholesky: the IP Newton matrix M = H + G' diag(d) G mixes
+    d ~ 1e8 active-constraint curvature with eps ~ 1e-6 ridge dims;
+    f32 Gram cancellation (~|M| * 1e-7) can push a weak leading-minor
+    pivot negative, and cho_factor then emits sqrt(<0) = NaN that
+    poisons the whole control cycle (observed in closed loop the moment
+    a constraint became strongly active). Diagonal pivoting eliminates
+    the large pivots first, and the floor turns a numerically-broken
+    pivot into a bounded (merit-gated, best-iterate-protected) step
+    instead of NaN. Same algorithm as the fused Pallas kernel's
+    _gj_inverse — the two paths share failure semantics."""
+    n = M.shape[0]
+    dtype = M.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+    aug0 = jnp.concatenate([M, eye_n], axis=1)
+    floor = 1e-10 * (jnp.sum(jnp.abs(jnp.diagonal(M))) / n + 1.0)
+    neg = jnp.asarray(-3e38, dtype=dtype)
+
+    def step(_, carry):
+        aug, elim = carry
+        diag = jnp.diagonal(aug[:, :n])
+        j = jnp.argmax(jnp.where(elim, neg, diag))
+        col = aug[:, j]
+        row = aug[j]
+        piv = row[j]
+        piv = jnp.where(jnp.abs(piv) < floor,
+                        jnp.where(piv < 0, -floor, floor), piv)
+        r = row / piv
+        aug = aug - col[:, None] * r[None, :]
+        aug = aug.at[j].set(r)
+        elim = elim.at[j].set(True)
+        return aug, elim
+
+    aug, _ = jax.lax.fori_loop(
+        0, n, step, (aug0, jnp.zeros(n, dtype=bool)))
+    return aug[:, n:]
+
+
+def _pd_solve(Minv, M, rhs):
+    """Minv rhs with two iterative-refinement steps (brings the explicit
+    GJ inverse to backward-stable-factorization accuracy)."""
+    x = Minv @ rhs
+    x = x + Minv @ (rhs - M @ x)
+    return x + Minv @ (rhs - M @ x)
+
+
 class QpSolution(NamedTuple):
     x: jnp.ndarray          # (n,) primal solution
     lam: jnp.ndarray        # (m,) inequality multipliers
@@ -91,8 +140,8 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
                          0.0, 1.0).astype(dtype)
         d = jnp.clip(lam / s, 1e-12, 1e8)
         M = H + G.T @ (d[:, None] * G)
-        cho = jax.scipy.linalg.cho_factor(M)
-        solveM = lambda rhs: jax.scipy.linalg.cho_solve(cho, rhs)
+        Minv = _pd_inverse(M)
+        solveM = lambda rhs: _pd_solve(Minv, M, rhs)
         # predictor (affine direction)
         rc_aff = (-s * lam + lam * r_p) / s
         dx_a = solveM(-(r_d + G.T @ rc_aff))

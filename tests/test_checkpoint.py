@@ -31,3 +31,17 @@ def test_run_checkpointer_retention(tmp_path):
     assert step == 40
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.ones(3))
     assert float(restored["b"][1]) == 5.0
+
+
+def test_load_rejects_structure_drift(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+    from qm_control_tpu.utils.checkpoint import load_pytree, save_pytree
+    path = str(tmp_path / "snap.npz")
+    save_pytree(path, {"a": jnp.zeros(3), "b": jnp.ones(2)})
+    # same leaf count, different structure -> treedef mismatch
+    with pytest.raises(ValueError, match="treedef mismatch"):
+        load_pytree(path, {"a": jnp.zeros(3), "c": jnp.ones(2)})
+    # different leaf count
+    with pytest.raises(ValueError, match="leaves"):
+        load_pytree(path, {"a": jnp.zeros(3)})

@@ -3,6 +3,7 @@
 The closed-loop standing test is the reference's Gazebo-validation
 equivalent (SURVEY.md §4 item 1) on a reduced horizon.
 """
+import pytest
 import dataclasses
 
 import jax
@@ -137,3 +138,27 @@ def test_closed_loop_standing(model, info):
     assert 0.36 < heights[-1] < 0.42, heights
     # EE holds the commanded pose
     assert float(np.asarray(metrics.ee_pos_err)[-1]) < 0.02
+
+
+@pytest.mark.slow
+def test_trot_in_place_stays_finite():
+    """Regression: a f32-broken Cholesky pivot in the WBC IP solver used
+    to NaN-poison the whole control cycle within ~10 ms of trot gait
+    (round 2); the pivoted-GJ solve with pivot floor must keep the loop
+    finite and safe."""
+    import numpy as np
+    from qm_control_tpu.experiments import _default_cfg, _standing_setup
+    from qm_control_tpu.runtime.loop import ControlLoop, LoopConfig
+    from qm_control_tpu.gaits.library import GAIT_LIBRARY, GaitSchedule
+    from qm_control_tpu.ocp.reference import target_from_knots
+    cfg = _default_cfg(horizon=0.4, dt=0.04)
+    model, info, q0, s = _standing_setup(cfg)
+    loop = ControlLoop(model, info, cfg, LoopConfig())
+    target = target_from_knots([0.0, 9.0], [s, s])
+    ms = GaitSchedule(GAIT_LIBRARY["trot"]).mode_schedule(0.0, 9.0)
+    carry = loop.init_carry(q0)
+    carry = loop.warmup(carry, target, ms, num_solves=10)
+    carry, m = loop.run(carry, target, ms, num_cycles=50)
+    assert not np.isnan(np.asarray(m.ee_pos_err)).any()
+    assert not np.isnan(np.asarray(m.torques)).any()
+    assert bool(np.asarray(m.safe)[-1])
