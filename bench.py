@@ -19,8 +19,37 @@ import numpy as np
 BASELINE_SOLVES_PER_S = 100.0   # reference: 100 Hz MPC, one scenario
 
 
+def _ensure_live_backend(probe_timeout_s: int = 90) -> None:
+    """Fall back to CPU if the accelerator backend cannot initialize.
+
+    The remote-TPU tunnel claims a device lease at first backend use; a
+    stale lease (e.g. a previous process killed mid-claim) makes
+    jax.devices() block indefinitely. Probe in a subprocess with a
+    timeout BEFORE importing jax here, and re-point JAX_PLATFORMS at cpu
+    when the probe fails, so the benchmark always produces its JSON line
+    (flagged with "backend") instead of hanging the driver."""
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print("bench: accelerator backend unreachable; falling back to "
+              "CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+
 def main():
+    _ensure_live_backend()
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
 
     import qm_control_tpu  # noqa: F401

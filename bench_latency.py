@@ -21,6 +21,9 @@ dot_general path is ~4x faster.
 import time
 
 import numpy as np
+
+from bench import _ensure_live_backend
+_ensure_live_backend()
 import jax
 import jax.numpy as jnp
 from functools import partial
