@@ -46,6 +46,11 @@ class SqpSettings(NamedTuple):
     # B=256). False: plain dot_general/linalg — fewer, bigger sequential
     # ops, better for single-scenario latency (B=1 real-time mode).
     unrolled_ops: bool = True
+    # True: associative-scan Riccati + prefix-scan rollout
+    # (solver.pariccati) — ceil(log2 N) rounds instead of N dependent
+    # steps; the sequence-axis parallelism of the horizon (SURVEY §5).
+    # Best for B=1 latency; the serial scan stays the batch default.
+    parallel_riccati: bool = False
 
 
 class SqpSolution(NamedTuple):
@@ -123,6 +128,10 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
             return jax.vmap(node)(node_data, X[:-1], W)
 
     def backward(A, B, lx, lu, lxx, luu, lux, d, VxN, VxxN):
+        if settings.parallel_riccati:
+            from .pariccati import parallel_backward
+            return parallel_backward(A, B, lx, lu, lxx, luu, lux, d,
+                                     VxN, VxxN, reg)
         # contraction-unrolled matmuls + unrolled Cholesky: batched 30x30
         # dot_generals/LU pad to 128 on the MXU (~1% efficiency); the
         # unrolled forms run as fused elementwise VPU work (models/smallmat)
@@ -169,6 +178,10 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
 
     def linear_forward(X, W, A, B, d, kffs, Kfbs, alpha):
         """dx' = A dx + B dw + alpha d;  dw = alpha k + K dx."""
+        if settings.parallel_riccati:
+            from .pariccati import parallel_linear_forward
+            return parallel_linear_forward(X, W, A, B, d, kffs, Kfbs,
+                                           alpha)
         if settings.unrolled_ops:
             from ..models.smallmat import mv_unrolled
         else:
