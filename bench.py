@@ -95,6 +95,10 @@ def main():
         "unit": f"solves/s (B={B}, N={N}, 1 SQP iter, {dev.device_kind})",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
     }
+    if dev.platform == "cpu" and os.environ.get("JAX_PLATFORMS") == "cpu":
+        result["note"] = ("CPU fallback: remote TPU lease unreachable at "
+                          "bench time; last TPU v5e measurement was "
+                          "1131-1141 solves/s (BENCH_r01.json, PARITY.md)")
     print(json.dumps(result))
 
 
