@@ -142,3 +142,29 @@ def test_mrt_async_interface(model):
         assert mrt.solve_count > n0      # keeps re-solving at the pace
     finally:
         mrt.stop()
+
+
+def test_profiling_chained_latency():
+    """chained_latency measures a trivial step (sanity: positive, tiny)
+    and stage_latencies maps names through."""
+    import jax.numpy as jnp
+    from qm_control_tpu.utils.profiling import (chained_latency,
+                                                stage_latencies)
+
+    def step(c):
+        return c * 1.0000001 + 1e-9
+
+    dt = chained_latency(step, k1=5, k2=55, reps=2)
+    assert 0.0 <= dt < 0.05
+    out = stage_latencies({"nop": step}, k1=5, k2=55, reps=2)
+    assert set(out) == {"nop"} and out["nop"] < 0.05
+
+
+def test_profiling_device_trace(tmp_path):
+    import jax.numpy as jnp
+    from qm_control_tpu.utils.profiling import device_trace
+    with device_trace(str(tmp_path)):
+        x = jnp.ones(64) * 2.0
+        x.block_until_ready()
+    import os
+    assert any(os.scandir(str(tmp_path)))   # trace files written
