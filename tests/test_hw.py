@@ -11,6 +11,7 @@ from qm_control_tpu.ocp.reference import target_from_knots
 from qm_control_tpu.runtime.hw import HardwareLoop, HWReading, SimHardware
 
 
+@pytest.mark.heavy
 def test_sim_hardware_read_write():
     cfg = _default_cfg(horizon=0.4, dt=0.04)
     model, info, q0, s = _standing_setup(cfg)

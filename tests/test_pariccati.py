@@ -1,5 +1,6 @@
 """Parallel-scan Riccati (solver.pariccati) vs the serial sweep."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,6 +111,7 @@ def test_parallel_forward_matches_serial():
         1 + np.max(np.abs(np.asarray(W_s))))
 
 
+@pytest.mark.heavy
 def test_full_mpc_solve_parallel_vs_serial():
     """End-to-end: the full standing MPC solve with parallel_riccati
     gives the same policy as the serial sweep (small horizon)."""
