@@ -506,6 +506,10 @@ def fused_hoqp_reference(t0: Task, t1: Task, t2: Task,
     return x[0, :NUM_DECISION_VARS]
 
 
+INTERPRET = False   # pallas interpreter mode (CPU validation of the
+                    # pallas_call packaging; Mosaic lowering needs TPU)
+
+
 def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec):
     # NOTE: deliberately NOT jax.jit-wrapped — a nested jit becomes a
     # closed_call primitive that trips XLA's cached-lowering path when
@@ -523,6 +527,7 @@ def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec):
         out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
         in_specs=[vspec] * 8,
         out_specs=vspec,
+        interpret=INTERPRET,
     )(A0, b0, D, f, A1, b1, A2, b2)
 
 

@@ -204,3 +204,22 @@ def test_cascade_vs_f64_referee(wbc_stacks):
             m_, jnp.asarray(x32, jnp.float32)))
         err = np.max(np.abs(tau64 - tau32))
         assert np.isfinite(err) and err < tol, (name, err)
+
+
+@pytest.mark.heavy
+def test_pallas_call_packaging_interpret(wbc_stacks):
+    """Run the cascade through the actual pl.pallas_call wrapper in
+    interpreter mode (validates specs/shapes/ref plumbing on CPU; Mosaic
+    lowering itself needs a TPU) and compare to the direct math path."""
+    import qm_control_tpu.kernels.hoqp_fused as KF
+    m_, (t0, t1, t2) = wbc_stacks(jnp.ones(4), jnp.zeros(24))
+    x_direct = np.asarray(fused_hoqp_reference(t0, t1, t2))
+    old = KF.INTERPRET
+    KF.INTERPRET = True
+    try:
+        ops, spec = KF._padded_operands(t0, t1, t2)
+        x_pallas = np.asarray(KF._fused_call(*ops, spec))[0, :36]
+    finally:
+        KF.INTERPRET = old
+    assert np.max(np.abs(x_direct - x_pallas)) < 1e-3 * (
+        1 + np.max(np.abs(x_direct)))
