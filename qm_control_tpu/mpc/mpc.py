@@ -102,12 +102,21 @@ class MpcSolver:
 
 
 def shift_warm_start(W, shift, dt):
-    """Shift a previous trajectory by `shift` seconds onto the new horizon
-    (fractional node shifts round down; tail repeats)."""
+    """Shift a previous trajectory by `shift` seconds onto the new horizon.
+
+    Linear interpolation at the fractional node positions (OCS2 interpolates
+    the previous primal solution at the new node times). With the default
+    MPC period (10 ms) below the node spacing (15 ms), integer-node shifting
+    would always round to zero and the warm start would stay permanently one
+    MPC period stale; fractional interpolation keeps it time-aligned.
+    Beyond the old horizon the last value repeats.
+    """
     N = W.shape[0]
-    k = jnp.clip((shift / dt).astype(jnp.int32), 0, N - 1)
-    idx = jnp.clip(jnp.arange(N) + k, 0, N - 1)
-    return W[idx]
+    pos = jnp.arange(N, dtype=W.dtype) + shift / dt
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
+    i1 = jnp.clip(i0 + 1, 0, N - 1)
+    a = jnp.clip(pos - i0.astype(W.dtype), 0.0, 1.0)[:, None]
+    return (1.0 - a) * W[i0] + a * W[i1]
 
 
 def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,

@@ -80,3 +80,26 @@ def test_warm_started_resolve_and_policy_eval(model, info, small_cfg):
     assert int(mode) == 15
     # interpolation stays inside the node hull
     assert float(x_des[8]) == pytest.approx(0.4, abs=0.05)
+
+
+def test_shift_warm_start_fractional_interpolation():
+    """Sub-node shifts must interpolate, not round to zero (ADVICE r1 #3:
+    with a 10 ms MPC period and 15 ms nodes an integer shift would leave
+    the warm start permanently one period stale)."""
+    from qm_control_tpu.mpc.mpc import shift_warm_start
+    dt = 0.015
+    W = jnp.arange(10, dtype=jnp.float32)[:, None] * jnp.ones((1, 3))
+    # shift of 2/3 node: node k picks up value k + 2/3
+    out = np.asarray(shift_warm_start(W, jnp.asarray(0.010 / dt * dt,
+                                                     jnp.float32), dt))
+    np.testing.assert_allclose(out[0], 2.0 / 3.0, atol=1e-5)
+    np.testing.assert_allclose(out[5], 5 + 2.0 / 3.0, atol=1e-4)
+    # tail clamps to the last value
+    np.testing.assert_allclose(out[-1], 9.0, atol=1e-5)
+    # integer shift reproduces exact node shifting
+    out2 = np.asarray(shift_warm_start(W, jnp.asarray(2 * dt, jnp.float32),
+                                       dt))
+    np.testing.assert_allclose(out2[:8, 0], np.arange(2, 10), atol=1e-4)
+    # zero shift is the identity
+    out3 = np.asarray(shift_warm_start(W, jnp.asarray(0.0), dt))
+    np.testing.assert_allclose(out3, np.asarray(W), atol=0)
