@@ -202,7 +202,7 @@ def ee_tracking(cfg: Optional[QmConfig] = None, duration: float = 4.0,
     carry = loop.init_carry(q0)
     carry = loop.warmup(carry, target, ms, num_solves=warmup)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
-    errs = []
+    errs, ori_errs, plan_errs, exec_errs = [], [], [], []
     while float(carry.t) < duration:
         t = float(carry.t)
         s_t = s.copy()
@@ -214,10 +214,17 @@ def ee_tracking(cfg: Optional[QmConfig] = None, duration: float = 4.0,
         carry, m = loop.run(carry, target, ms, num_cycles=chunk)
         if t > 1.0:
             errs.append(float(np.asarray(m.ee_pos_err)[-1]))
+            ori_errs.append(float(np.asarray(m.ee_ori_err)[-1]))
+            pe, xe = _plan_exec_split(model, m)
+            plan_errs.append(pe)
+            exec_errs.append(xe)
     return {
         "experiment": "ee_tracking",
         "ee_pos_err_max_mm": 1e3 * float(np.max(errs)),
         "ee_pos_err_mean_mm": 1e3 * float(np.mean(errs)),
+        "ee_ori_err_max_deg": float(np.degrees(np.max(ori_errs))),
+        "ee_plan_err_max_mm": 1e3 * float(np.max(plan_errs)),
+        "ee_exec_err_max_mm": 1e3 * float(np.max(exec_errs)),
         "safe": bool(np.asarray(carry.safe)),
     }
 
@@ -250,19 +257,45 @@ def disturbance_rejection(cfg: Optional[QmConfig] = None,
         v=carry.plant.v.at[1].add(push_velocity)))
     carry, m_hold = loop.run(carry, target, ms,
                              num_cycles=int(hold * cfg.mpc.mpc_frequency))
-    err_under_load = 1e3 * float(np.asarray(m_hold.ee_pos_err)[-1])
+    hold_errs = np.asarray(m_hold.ee_pos_err)
+    err_under_load = 1e3 * float(hold_errs[-1])
+    excursion_mm = 1e3 * float(np.max(hold_errs))
     # release
     carry = carry._replace(plant=carry.plant._replace(
         ee_wrench=jnp.zeros(6, dtype=jnp.float32)))
+    t_release = float(carry.t)
     carry, m = loop.run(carry, target, ms,
                         num_cycles=int(release * cfg.mpc.mpc_frequency))
     y_end = float(carry.plant.q[1])
+    # quantitative recovery: settle = EE back within settle_band of the
+    # target and STAYING there for the remainder of the release window
+    rel_errs = 1e3 * np.asarray(m.ee_pos_err)
+    settle_band_mm = 5.0
+    inside = rel_errs <= settle_band_mm
+    settled_from = None
+    for i in range(len(inside)):
+        if inside[i:].all():
+            settled_from = i
+            break
+    settling_time_s = (None if settled_from is None
+                       else (settled_from + 1) / cfg.mpc.mpc_frequency)
+    max_excursion_bound_mm = 120.0   # EE must not be shoved further than
+    # this under the sustained load (sane for a 25 N lateral EE force on
+    # a 5.7 kg arm: the MPC leans the whole body into the push)
+    recovered = (bool(np.asarray(m.safe)[-1]) and np.isfinite(y_end)
+                 and settling_time_s is not None
+                 and excursion_mm <= max_excursion_bound_mm)
     return {
         "experiment": f"disturbance_rejection[{ee_force} N EE force]",
-        "recovered": bool(np.asarray(m.safe)[-1]) and np.isfinite(y_end),
+        "recovered": recovered,
         "ee_pos_err_under_load_mm": err_under_load,
+        "ee_excursion_max_mm": excursion_mm,
+        "ee_excursion_bound_mm": max_excursion_bound_mm,
+        "settling_time_s": settling_time_s,
+        "settle_band_mm": settle_band_mm,
         "ee_pos_err_end_mm": 1e3 * float(np.asarray(m.ee_pos_err)[-1]),
         "lateral_displacement_m": abs(y_end),
+        "release_time_s": t_release,
     }
 
 

@@ -278,7 +278,10 @@ def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
                h, Gmv(x0), smask)
     lam0 = smask
 
-    def body(carry, _):
+    def body(_i, carry):
+        # fori_loop (not lax.scan): Mosaic's scan lowering requires a
+        # pattern-matchable loop-index carry and rejects this pytree
+        # carry ("not a fori_loop index"); fori_loop lowers directly.
         x, s, lam, bx, bs, blam, bm = carry
         s = _tmap(lambda a: jnp.maximum(a, 1e-9), s)
         lam = _tmap(lambda a: jnp.maximum(a, 1e-12), lam)
@@ -328,11 +331,11 @@ def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
         bs = _tmap(lambda n, o: jnp.where(take, n, o), s, bs)
         blam = _tmap(lambda n, o: jnp.where(take, n, o), lam, blam)
         bm = jnp.minimum(mm_, bm)
-        return (x, s, lam, bx, bs, blam, bm), ()
+        return (x, s, lam, bx, bs, blam, bm)
 
     init = (x0, s0, lam0, x0, s0, lam0, merit(x0, s0, lam0))
-    (x, s, lam, bx, bs, blam, _), _ = jax.lax.scan(body, init, None,
-                                                   length=qp_iters)
+    (x, s, lam, bx, bs, blam, _) = jax.lax.fori_loop(0, qp_iters, body,
+                                                     init)
     return bx, bs
 
 

@@ -25,6 +25,12 @@ from .tasks import NUM_DECISION_VARS, Task
 
 _EPS_H = 1e-6       # ridge on the level Hessian (HoQp.cpp:70 uses 1e-12)
 _EPS_NULL = 1e-7    # damping of the null-space projector
+CLAMP_CARRIED = False  # trace-time switch: clamp carried inequality
+# slacks h_q = f_q - D_q x + v_q* to >= 0. Exact arithmetic guarantees
+# h_q >= 0 at z = 0 (the previous level certified feasibility with its
+# optimal violation v_q*); any negative value is pure f32 drift, and
+# presenting the IP with an infeasible-at-origin carried row is what
+# destabilized the exact-basis cascade in closed loop (see USE_QR_BASIS).
 USE_QR_BASIS = False  # trace-time switch: exact-zero QR kernel basis vs
 # the damped projector. Default OFF after a round-2 closed-loop study:
 # the exact basis leaves later levels with only the true kernel
@@ -111,7 +117,8 @@ def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):
         for (Dq, fq, vq) in prev:
             G_rows.append(jnp.concatenate(
                 [Dq @ Z, jnp.zeros((Dq.shape[0], nv), dtype=dtype)], axis=1))
-            h_rows.append(fq - Dq @ x + vq)
+            hq = fq - Dq @ x + vq
+            h_rows.append(jnp.maximum(hq, 0.0) if CLAMP_CARRIED else hq)
         if nv > 0:
             G_rows.append(jnp.concatenate(
                 [task.D @ Z, -jnp.eye(nv, dtype=dtype)], axis=1))
