@@ -99,6 +99,20 @@ def main():
         result["note"] = ("CPU fallback: remote TPU lease unreachable at "
                           "bench time; last TPU v5e measurement was "
                           "1131-1141 solves/s (BENCH_r01.json, PARITY.md)")
+
+    # --- B=1 real-time latencies (VERDICT r2 #3: make the 10 ms MPC /
+    # 2 ms WBC deadline evidence a driver-captured artifact, reference
+    # task.info:146-147). Differential chaining cancels the fixed
+    # host->device dispatch cost (see bench_latency.py docstring). ---
+    if on_tpu and os.environ.get("BENCH_SKIP_LATENCY", "") != "1":
+        try:
+            from bench_latency import measure_latencies
+            lat = measure_latencies(cfg, model, info, x0, target, ms)
+            result.update(lat)
+            result["mpc_deadline_10ms_met"] = lat["mpc_b1_ms"] <= 10.0
+            result["wbc_deadline_2ms_met"] = lat["wbc_b1_fused_ms"] <= 2.0
+        except Exception as e:  # noqa: BLE001 - never lose the line
+            result["latency_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

@@ -14,34 +14,31 @@ locally-attached TPU pays per solve inside the fused control cycle
 (runtime/loop.py runs the whole MPC period on-device, so this is the
 deployment-relevant number).
 
+The WBC is measured over the FULL update (model data + task formulation
++ cascade), in both cascade variants:
+  - fused (kernels.hoqp_fused single Pallas kernel) — the deployed
+    real-time path; measured 1.3 ms on TPU v5e (deadline MET);
+  - XLA op-per-op cascade — 19-23 ms on the same chip (dispatch-bound
+    inside the graph: ~50 sequentially-dependent small factorizations),
+    which is why the Pallas kernel exists. Round 2's PARITY claim of a
+    1.19 ms XLA-cascade latency did not reproduce and is WITHDRAWN.
+
 B=1 uses SqpSettings(unrolled_ops=False): the contraction-unrolled VPU
 forms are a batch-throughput optimization (bench.py); at B=1 the plain
 dot_general path is ~4x faster.
 """
+import dataclasses
 import time
+from functools import partial
 
 import numpy as np
-
-from bench import _ensure_live_backend
-_ensure_live_backend()
-import jax
-import jax.numpy as jnp
-from functools import partial
-import dataclasses
-
-import qm_control_tpu  # noqa: F401
-from qm_control_tpu.config import QmConfig, WbcGains
-from qm_control_tpu.ocp.problem import make_ocp
-from qm_control_tpu.mpc.mpc import mpc_step
-from qm_control_tpu.solver.sqp import SqpSettings
-from qm_control_tpu.wbc.wbc import hierarchical_wbc_update
-from __graft_entry__ import _setup
 
 K1, K2 = 10, 110   # differential chain lengths
 REPS = 5           # repetitions; min taken
 
 
 def _time(fn, *args):
+    import jax
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []
@@ -54,7 +51,7 @@ def _time(fn, *args):
 
 
 def measure(make_chain, *args):
-    """Per-solve (min, median) seconds via differential chaining."""
+    """Per-solve (min, median) milliseconds via differential chaining."""
     t1n, t1d = _time(make_chain(K1), *args)
     t2n, t2d = _time(make_chain(K2), *args)
     dk = K2 - K1
@@ -64,6 +61,9 @@ def measure(make_chain, *args):
 def dispatch_penalty():
     """Fixed per-call host->device dispatch cost in the current process
     state (grows to ~40 ms after any device-to-host transfer)."""
+    import jax
+    import jax.numpy as jnp
+
     @jax.jit
     def nop(x):
         return x * 1.0000001
@@ -72,13 +72,13 @@ def dispatch_penalty():
     return mn * 1e3
 
 
-def main():
-    cfg, model, info, x0, target, ms = _setup(QmConfig())
-    dev = jax.devices()[0]
-    print("device:", dev.device_kind)
-    print(f"[dispatch]   fixed host->device round trip: "
-          f"{dispatch_penalty():.2f} ms (excluded by differential chaining)")
-    N = cfg.mpc.num_nodes
+def _make_mpc_chain_factory(cfg, model, info, target, ms):
+    import jax
+    import jax.numpy as jnp
+
+    from qm_control_tpu.mpc.mpc import mpc_step
+    from qm_control_tpu.ocp.problem import make_ocp
+    from qm_control_tpu.solver.sqp import SqpSettings
 
     ocp = make_ocp(model, info, cfg)
     st = SqpSettings(num_iterations=cfg.mpc.num_iterations,
@@ -97,18 +97,18 @@ def main():
                 body, (W, X), jnp.arange(K, dtype=jnp.float32))
             return costs
         return mpc_chain
+    return make_mpc_chain
 
-    W = jnp.zeros((N, 30), dtype=jnp.float32)
-    X = jnp.tile(x0[None], (N + 1, 1))
-    mn, med = measure(make_mpc_chain, x0, W, X)
-    print(f"[mpc_solve]  per-solve min {mn:.2f} ms  median {med:.2f} ms "
-          f"(N={N}, {st.num_iterations} SQP iter) | deadline 10 ms "
-          f"{'MET' if med <= 10 else 'MISSED'}")
+
+def _make_wbc_chain_factory(model, info, fused: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from qm_control_tpu.config import WbcGains
+    from qm_control_tpu.wbc.wbc import hierarchical_wbc_update
 
     gains = dataclasses.replace(WbcGains(), arm_settling_time=0.0)
     tau_max = jnp.asarray(model.joint_effort, dtype=jnp.float32)
-    q = x0[6:30]
-    v = jnp.zeros(24, dtype=jnp.float32)
 
     def make_wbc_chain(K):
         @jax.jit
@@ -118,17 +118,69 @@ def main():
                     model, info, gains, tau_max, x_des, jnp.zeros(30),
                     jnp.zeros(30), q + carry * 1e-9, v, jnp.ones(4),
                     jnp.asarray(0.002, jnp.float32),
-                    jnp.asarray(20.0, jnp.float32))
+                    jnp.asarray(20.0, jnp.float32), fused_cascade=fused)
                 return (jnp.sum(res.torques) * 1e-12,
                         jnp.max(jnp.abs(res.torques)))
             _, taus = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
                                    jnp.arange(K, dtype=jnp.float32))
             return taus
         return wbc_chain
+    return make_wbc_chain
 
-    mn, med = measure(make_wbc_chain, x0, q, v)
-    print(f"[wbc_solve]  per-solve min {mn:.2f} ms  median {med:.2f} ms "
-          f"| deadline 2 ms {'MET' if med <= 2 else 'MISSED'}")
+
+def measure_latencies(cfg, model, info, x0, target, ms,
+                      include_xla_wbc: bool = False) -> dict:
+    """B=1 differential-chained latencies, for bench.py's JSON line."""
+    import jax.numpy as jnp
+
+    N = cfg.mpc.num_nodes
+    W = jnp.zeros((N, 30), dtype=jnp.float32)
+    X = jnp.tile(x0[None], (N + 1, 1))
+    mpc_mn, mpc_med = measure(
+        _make_mpc_chain_factory(cfg, model, info, target, ms), x0, W, X)
+
+    q = x0[6:30]
+    v = jnp.zeros(24, dtype=jnp.float32)
+    fus_mn, fus_med = measure(
+        _make_wbc_chain_factory(model, info, fused=True), x0, q, v)
+    out = {
+        "mpc_b1_ms": round(mpc_med, 3),
+        "mpc_b1_min_ms": round(mpc_mn, 3),
+        "wbc_b1_fused_ms": round(fus_med, 3),
+        "wbc_b1_fused_min_ms": round(fus_mn, 3),
+    }
+    if include_xla_wbc:
+        xla_mn, xla_med = measure(
+            _make_wbc_chain_factory(model, info, fused=False), x0, q, v)
+        out["wbc_b1_xla_ms"] = round(xla_med, 3)
+    return out
+
+
+def main():
+    from bench import _ensure_live_backend
+    _ensure_live_backend()
+    import jax
+
+    import qm_control_tpu  # noqa: F401
+    from qm_control_tpu.config import QmConfig
+    from __graft_entry__ import _setup
+
+    cfg, model, info, x0, target, ms = _setup(QmConfig())
+    dev = jax.devices()[0]
+    print("device:", dev.device_kind)
+    print(f"[dispatch]   fixed host->device round trip: "
+          f"{dispatch_penalty():.2f} ms (excluded by differential chaining)")
+    lat = measure_latencies(cfg, model, info, x0, target, ms,
+                            include_xla_wbc=True)
+    print(f"[mpc_solve]  per-solve median {lat['mpc_b1_ms']:.2f} ms "
+          f"(min {lat['mpc_b1_min_ms']:.2f}) | deadline 10 ms "
+          f"{'MET' if lat['mpc_b1_ms'] <= 10 else 'MISSED'}")
+    print(f"[wbc fused]  per-solve median {lat['wbc_b1_fused_ms']:.2f} ms "
+          f"(min {lat['wbc_b1_fused_min_ms']:.2f}) | deadline 2 ms "
+          f"{'MET' if lat['wbc_b1_fused_ms'] <= 2 else 'MISSED'}")
+    print(f"[wbc xla  ]  per-solve median {lat['wbc_b1_xla_ms']:.2f} ms "
+          f"(the op-per-op cascade; why the fused kernel is the deployed "
+          f"path)")
 
 
 if __name__ == "__main__":

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from ..wbc.tasks import NUM_DECISION_VARS, Task
 
 LANES = 128
-_EPS_H = 1e-6       # hoqp.py ridge on the level Hessian
+_EPS_H = 3e-6       # hoqp.py RELATIVE ridge on the level Hessian
 _EPS_NULL = 1e-7    # hoqp.py null-space projector damping
 _TAU = 0.995
 _GATE_TOL = 1e-6
@@ -64,7 +64,7 @@ class FusedCascadeSpec(NamedTuple):
     nv0: int
     ma1: int
     ma2: int
-    qp_iters: int = 15
+    qp_iters: int = 20
 
 
 # ---------------------------------------------------------------------------
@@ -72,8 +72,13 @@ class FusedCascadeSpec(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _dg(a, b, dims):
+    # HIGHEST: true-f32 accumulation. The TPU MXU default decomposes f32
+    # matmuls into bf16 passes whose rounding (~1e-3 relative) would
+    # swamp the cascade's conditioning work; these are 128x128 ops, the
+    # extra passes are noise next to the kernel's serial latency.
     return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _matvec(M, x):
@@ -170,6 +175,22 @@ def _refined_solve(Minv, M, rhs, mask):
     x = _matvec(Minv, rhs) * mask
     r = rhs - _matvec(M, x) * mask
     return x + _matvec(Minv, r) * mask
+
+
+def _refined_solve_op(Minv, Mmv, rhs, mask, steps=2):
+    """x = M^{-1} rhs by refinement against a FACTOR-FORM matvec Mmv.
+
+    Minv inverts the MATERIALIZED Gram-based matrix, which carries a
+    fixed f32 perturbation E (|E| ~ 36u * maxdiag — the same rounding
+    that forced the relative ridge). Using Mmv(x) = A'(Ax) + ... for the
+    residual makes the iteration converge to the solution of the EXACT
+    (implicitly PSD) operator: Minv only preconditions, contraction
+    |M^{-1}E| ~ 1e-2, two steps reach the f32 matvec-noise floor."""
+    x = _matvec(Minv, rhs) * mask
+    for _ in range(steps):
+        r = rhs - Mmv(x) * mask
+        x = x + _matvec(Minv, r) * mask
+    return x
 
 
 def _kernel_basis_qr(Az, n_steps, eye, nx, rel_tol=1e-5):
@@ -357,6 +378,14 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     zmask = _lane_mask(nx)
     vmask = _lane_mask(spec.nv0)
     eye_z = eye * zmask
+    # structurally-inactive inequality rows (contact-masked: zero D row,
+    # bound pushed to MASK_BIG) are EXCLUDED from the IP statistics —
+    # their ~1e6 slacks otherwise dominate mu and Mehrotra's centering
+    # then targets huge complementarity products on the real rows
+    # (mirrors wbc.qp.solve_qp's `act` mask; exact semantics).
+    dmask = vmask * (f < 5e5).astype(jnp.float32)
+    n_act = jnp.maximum(jnp.sum(dmask), 1.0)
+    n_v = jnp.maximum(jnp.sum(vmask), 1.0)
 
     def projector(Az, ma):
         """Damped null-space projector, matching wbc.hoqp's deployed
@@ -371,33 +400,38 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
         return eye_z - _mmT(Az, U) * zmask
 
     def level_data(A, b, Z, x):
-        """Az, level Hessian, level gradient — with a kernel ridge.
+        """Az, level Hessian, level gradient.
 
-        With the damped projector, components of z in ker(Z) are
-        physically inert (everything left-multiplies by Z) yet pinned
-        only at eps = 1e-6 — f32 condition ~1e7. kappa (I-Z)'(I-Z)
-        penalizes exactly those inert directions ((I-Z)Z = 0 for an
-        exact projector; ~1e-7 leakage for the damped one) and brings
-        the level solves to f32-friendly conditioning."""
+        The relative ridge (wbc.hoqp._EPS_H rationale: f32 Gram rounding
+        ~ 4e-6 * maxdiag makes the Gram indefinite under an absolute
+        ridge) both restores convexity and pins the damped projector's
+        inert kernel directions. NOTE: round 2 additionally added a
+        kappa (I-Z)'(I-Z) penalty here; with the relative ridge in place
+        it is pure bias (measured +5.7 Nm vs the f64 referee on trot
+        stacks) and is gone."""
         Az = _mm(A, Z)
-        Hz = _mmT(Az, Az) + _EPS_H * eye_z
-        kappa = jnp.sum(Hz * eye) / nx + 1.0
-        W = eye_z - Z
-        Hz = Hz + kappa * _mmT(W, W) * zmask
+        gram = _mmT(Az, Az)
+        ridge = _EPS_H * (jnp.max(gram * eye) + 1e-3)
+        Hz = gram + ridge * eye_z
         r = _matvec(A, x) - b
         cz = _vecmat(r, Az) * zmask
-        return Az, Hz, cz
 
-    def init_solve(Hz, cz):
-        H8 = Hz + 1e-8 * eye_z
-        inv0 = _gj_inverse(H8, nx, eye)
-        return _refined_solve(inv0, H8, -cz, zmask)
+        def hz_mv(z):
+            """Factor-form Hz z (exact PSD operator; no materialized
+            Gram perturbation) for refinement residuals."""
+            return (_vecmat(_matvec(Az, z), Az) + ridge * z) * zmask
 
-    def eq_level_solve(Hz, cz, B, h, smask1, m_count):
+        return Az, Hz, cz, hz_mv
+
+    def init_solve(Hz, cz, hz_mv):
+        inv0 = _gj_inverse(Hz, nx, eye)
+        return _refined_solve_op(inv0, hz_mv, -cz, zmask)
+
+    def eq_level_solve(Hz, cz, hz_mv, B, h, smask1, m_count):
         """Level with no new slack: decision z (36), inequalities B z <= h
         (the level-0 rows carried down through Z)."""
         def Hmv(z):
-            return _matvec(Hz, z) * zmask
+            return hz_mv(z)
 
         def Gmv(z):
             return _dg(z, B, ((1,), (1,))) * smask1
@@ -406,13 +440,16 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
             return _vecmat(y, B) * zmask
 
         def solveM(d, rhs):
+            # materialized-M refinement: factor-form residuals amplify
+            # f32 noise by the d ~ 1e8 active-constraint weights (see
+            # wbc.qp.solve_qp's solveM note)
             dgm = eye * d                                # diag(d)
             S = Hz + _mmT(B, _mm(dgm, B)) * zmask
             Sinv = _gj_inverse(S, nx, eye)
             return _refined_solve(Sinv, S, rhs, zmask)
 
         scale = jnp.maximum(1.0, _norm_masked(cz, zmask))
-        x0 = init_solve(Hz, cz)
+        x0 = init_solve(Hz, cz, hz_mv)
         bx, _ = _ip_solve(x0, cz, h, smask1, m_count, Hmv, Gmv, GTmv,
                           solveM, scale, spec.qp_iters)
         return bx
@@ -420,11 +457,11 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     # ---------------- level 0: (z, v) with slack v ----------------
     x = jnp.zeros((1, LANES), jnp.float32)
     Z = eye_z
-    Az0, Hz0, cz0 = level_data(A0, b0, Z, x)
+    Az0, Hz0, cz0, hz0_mv = level_data(A0, b0, Z, x)
 
     def Hmv0(xz):
         z, v = xz
-        return (_matvec(Hz0, z) * zmask, v * vmask)
+        return (hz0_mv(z), v * vmask)
 
     def Gmv0(xz):
         z, v = xz
@@ -451,29 +488,36 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
 
     zeros = jnp.zeros((1, LANES), jnp.float32)
     c0 = (cz0, zeros)
-    h0 = (zeros, f)
-    smask0 = (vmask, vmask)
+    h0 = (zeros, jnp.where(dmask > 0, f, 1.0))
+    smask0 = (vmask, dmask)
     scale0 = jnp.maximum(1.0, _norm_masked(cz0, zmask))
-    x0_init = (init_solve(Hz0, cz0), zeros)
-    (z0s, v0s), _ = _ip_solve(x0_init, c0, h0, smask0, 2 * spec.nv0,
+    x0_init = (init_solve(Hz0, cz0, hz0_mv), zeros)
+    (z0s, v0s), _ = _ip_solve(x0_init, c0, h0, smask0, n_v + n_act,
                               Hmv0, Gmv0, GTmv0, solveM0, scale0,
                               spec.qp_iters)
     x = x + _dg(z0s, Z, ((1,), (1,)))
     Z = _mm(Z, projector(Az0, spec.ma0))
 
+    def carried_h(x):
+        """Carried level-0 bounds f - Dx + v0*; clamped at 0: exact
+        arithmetic guarantees feasibility at the origin (level 0
+        certified it with its optimal violation), so any negative value
+        is pure f32 drift that would present the IP with an unreachable
+        constraint (wbc.hoqp CLAMP_CARRIED rationale)."""
+        hq = (f - _dg(x, D, ((1,), (1,))) + v0s)
+        return jnp.where(dmask > 0, jnp.maximum(hq, 0.0), 1.0)
+
     # ---------------- level 1 ----------------
-    Az1, Hz1, cz1 = level_data(A1, b1, Z, x)
+    Az1, Hz1, cz1, hz1_mv = level_data(A1, b1, Z, x)
     B1 = _mm(D, Z)
-    h1 = (f - _dg(x, D, ((1,), (1,))) + v0s) * vmask
-    z1s = eq_level_solve(Hz1, cz1, B1, h1, vmask, spec.nv0)
+    z1s = eq_level_solve(Hz1, cz1, hz1_mv, B1, carried_h(x), dmask, n_act)
     x = x + _dg(z1s, Z, ((1,), (1,)))
     Z = _mm(Z, projector(Az1, spec.ma1))
 
     # ---------------- level 2 ----------------
-    Az2, Hz2, cz2 = level_data(A2, b2, Z, x)
+    Az2, Hz2, cz2, hz2_mv = level_data(A2, b2, Z, x)
     B2 = _mm(D, Z)
-    h2 = (f - _dg(x, D, ((1,), (1,))) + v0s) * vmask
-    z2s = eq_level_solve(Hz2, cz2, B2, h2, vmask, spec.nv0)
+    z2s = eq_level_solve(Hz2, cz2, hz2_mv, B2, carried_h(x), dmask, n_act)
     x = x + _dg(z2s, Z, ((1,), (1,)))
     return x
 
@@ -500,7 +544,7 @@ def _padded_operands(t0: Task, t1: Task, t2: Task):
 
 
 def fused_hoqp_reference(t0: Task, t1: Task, t2: Task,
-                         qp_iters: int = 15) -> jnp.ndarray:
+                         qp_iters: int = 20) -> jnp.ndarray:
     """The kernel math as plain XLA (CPU tests / debugging). Returns the
     (36,) decision vector."""
     ops, spec = _padded_operands(t0, t1, t2)
@@ -535,7 +579,7 @@ def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec):
 
 
 def fused_hoqp(t0: Task, t1: Task, t2: Task,
-               qp_iters: int = 15) -> jnp.ndarray:
+               qp_iters: int = 20) -> jnp.ndarray:
     """Solve the 3-level cascade in one Pallas kernel; returns the (36,)
     decision vector (drop-in for wbc.hoqp.hoqp_solve on this stack
     family: level 0 owns all inequalities, levels 1-2 are equality

@@ -46,6 +46,10 @@ class LoopConfig(NamedTuple):
     leg_command_start_time: float = 0.0   # reference uses 10.0 (staging);
     # our plant starts standing so legs are driven from t=0 by default
     plant: PlantConfig = PlantConfig()
+    fused_wbc: Optional[bool] = None   # None = auto: the fused Pallas
+    # cascade (kernels.hoqp_fused) on TPU backends — the only WBC path
+    # that meets the 2 ms deadline (1.3 ms vs 19-23 ms for the XLA
+    # op-per-op cascade on TPU v5e) — and the XLA cascade on CPU
 
     @property
     def ticks_per_cycle(self) -> int:
@@ -96,6 +100,8 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
     substeps = loop_cfg.substeps_per_tick
     tick_dt = 1.0 / loop_cfg.control_freq
     tau_max = jnp.asarray(model.joint_effort, dtype=jnp.float32)
+    fused_wbc = (jax.default_backend() in ("tpu", "axon")
+                 if loop_cfg.fused_wbc is None else loop_cfg.fused_wbc)
 
     def cycle(carry: CycleCarry, target: TargetTrajectory, ms: ModeSchedule,
               gains: WbcGains):
@@ -120,7 +126,8 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
             wbc = hierarchical_wbc_update(
                 model, info, gains, tau_max, x_des, u_des, input_last,
                 q_meas, v_meas, flags, jnp.asarray(tick_dt, jnp.float32), t,
-                ee_wrench=plant.ee_wrench)  # measured-wrench feedthrough
+                ee_wrench=plant.ee_wrench,  # measured-wrench feedthrough
+                fused_cascade=fused_wbc)
             # hybrid commands (QMController::updateControlLaw :177-190)
             pos_des = x_des[12:30]
             vel_des = u_des[12:30]

@@ -23,9 +23,25 @@ import jax.numpy as jnp
 from .qp import solve_qp
 from .tasks import NUM_DECISION_VARS, Task
 
-_EPS_H = 1e-6       # ridge on the level Hessian (HoQp.cpp:70 uses 1e-12)
-_EPS_NULL = 1e-7    # damping of the null-space projector
-CLAMP_CARRIED = False  # trace-time switch: clamp carried inequality
+_EPS_H = 3e-6       # RELATIVE ridge on the level Hessian, scaled by the
+# Gram's max diagonal. The reference uses an absolute 1e-12 in f64 where
+# Gram rounding is ~u*|H| ~ 1e-13; the f32 analog must track |H|: the f32
+# Gram A'A carries rounding that can flip weak eigenvalues NEGATIVE
+# (measured min eig -7e-6 on a 3-contact walking stack whose maxdiag is
+# 1321 — an ABSOLUTE 1e-6 ridge is below that, and the IP rides the
+# negative curvature to |z| ~ 1e15). The measured indefiniteness is
+# ~5e-9 RELATIVE to maxdiag; 3e-6*maxdiag dominates it ~600x. The value
+# is the measured bias/noise sweet spot vs the f64 referee (bias grows
+# with the ridge, factorization noise with its inverse): 3e-6 gives
+# 0.6/0.9/1.1 Nm max on stance/trot/3-contact stacks vs 1.7-2.7 Nm at
+# 1e-5 or 1e-6 (tools/diag_wbc_numerics.py).
+_EPS_NULL = 1e-7    # damping of the null-space projector. Unlike _EPS_H
+# this does NOT need to dominate the Gram's f32 rounding: the damped
+# pseudo-inverse goes through a pivoted LU solve (nonsingularity, not
+# positive-definiteness, is what matters), and raising the damping was
+# measured to ADD torque bias (leakage ~ damping into pruned directions:
+# 1e-5 cost ~2-8 Nm vs the f64 referee; 1e-7 matches it).
+CLAMP_CARRIED = True   # trace-time switch: clamp carried inequality
 # slacks h_q = f_q - D_q x + v_q* to >= 0. Exact arithmetic guarantees
 # h_q >= 0 at z = 0 (the previous level certified feasibility with its
 # optimal violation v_q*); any negative value is pure f32 drift, and
@@ -85,16 +101,15 @@ def _kernel_basis(Az, rel_tol=1e-5):
     return K[:n, :n].astype(Az.dtype)
 
 
-def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):
+def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 20):
     """Solve the lexicographic cascade; tasks ordered highest priority
     first. Returns the optimal decision vector x (36,).
 
-    qp_iters: fixed Mehrotra-IP iteration count per level. On the
-    realistic WBC stacks (incl. flying/two-contact modes) the solver's
-    convergence gate freezes the iterate by iteration ~11 (measured:
-    torques identical to a 25-iteration solve); 15 keeps margin while
-    holding the 2 ms real-time budget (each iteration is a sequential
-    ~90-dim factorization — the WBC's latency driver)."""
+    qp_iters: fixed Mehrotra-IP iteration count per level. With the
+    round-3 numerics (active-row mask + relative ridge) the last ~0.7 Nm
+    of trot-stack agreement with the f64 referee arrives between
+    iterations 15 and 20; 20 holds the 2 ms budget on the fused-kernel
+    path (each iteration is a sequential 36-dim solve)."""
     nx = NUM_DECISION_VARS
     dtype = tasks[0].A.dtype
     x = jnp.zeros(nx, dtype=dtype)
@@ -104,7 +119,9 @@ def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):
     for task in tasks:
         ma, nv = task.A.shape[0], task.D.shape[0]
         Az = task.A @ Z                                   # (ma, nx)
-        H_z = Az.T @ Az + _EPS_H * jnp.eye(nx, dtype=dtype)
+        gram = Az.T @ Az
+        ridge = _EPS_H * (jnp.max(jnp.diagonal(gram)) + 1e-3)
+        H_z = gram + ridge * jnp.eye(nx, dtype=dtype)
         c_z = Az.T @ (task.A @ x - task.b)
 
         G_rows, h_rows = [], []
@@ -130,10 +147,18 @@ def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 15):
             H = H.at[nx:, nx:].set(jnp.eye(nv, dtype=dtype))
         c = jnp.concatenate([c_z, jnp.zeros(nv, dtype=dtype)])
 
+        def H_mv(zv, Az=Az, ridge=ridge, nv=nv):
+            """Factor-form H matvec: Az'(Az z) + ridge z (+ slack I block)
+            — refinement against this converges past the materialized
+            Gram's f32 perturbation (see qp._pd_solve)."""
+            z = zv[:nx]
+            out_z = Az.T @ (Az @ z) + ridge * z
+            return out_z if nv == 0 else jnp.concatenate([out_z, zv[nx:]])
+
         if G_rows:
             G = jnp.concatenate(G_rows, axis=0)
             h = jnp.concatenate(h_rows)
-            sol = solve_qp(H, c, G, h, num_iters=qp_iters)
+            sol = solve_qp(H, c, G, h, num_iters=qp_iters, H_mv=H_mv)
             zv = sol.x
         else:
             zv = jnp.linalg.solve(H, -c)

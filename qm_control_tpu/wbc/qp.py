@@ -69,12 +69,16 @@ def _pd_inverse(M):
     return aug[:, n:]
 
 
-def _pd_solve(Minv, M, rhs):
-    """Minv rhs with two iterative-refinement steps (brings the explicit
-    GJ inverse to backward-stable-factorization accuracy)."""
+def _pd_solve(Minv, M_mv, rhs):
+    """Minv rhs with two iterative-refinement steps against the matvec
+    M_mv. When M_mv is factor-form (A'(Ax) + ... instead of the
+    materialized Gram), refinement converges to the EXACT operator's
+    solution — the materialized Gram's fixed f32 perturbation
+    (~36u * maxdiag, large enough to flip weak eigenvalues) only degrades
+    the preconditioner, not the answer."""
     x = Minv @ rhs
-    x = x + Minv @ (rhs - M @ x)
-    return x + Minv @ (rhs - M @ x)
+    x = x + Minv @ (rhs - M_mv(x))
+    return x + Minv @ (rhs - M_mv(x))
 
 
 class QpSolution(NamedTuple):
@@ -85,17 +89,31 @@ class QpSolution(NamedTuple):
 
 
 def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
-             gate_tol: float = 1e-6) -> QpSolution:
+             gate_tol: float = 1e-6, inactive_h: float = 5e5,
+             H_mv=None) -> QpSolution:
     """Solve the inequality QP with `num_iters` fixed IP iterations.
 
-    All shapes static: H (n,n), c (n,), G (m,n), h (m,). Rows of G that
-    are identically zero (masked-out constraints) are harmless provided
-    their bound h_i is positive (maskers push it to +BIG).
+    All shapes static: H (n,n), c (n,), G (m,n), h (m,). Structurally
+    inactive rows — zero G rows, or bounds pushed to +BIG (>= inactive_h)
+    by the contact-masking convention (tasks.MASK_BIG) — are EXCLUDED
+    from the interior-point statistics: their slacks otherwise dominate
+    the duality measure mu (s_i ~ 1e6 vs real slacks ~1), and Mehrotra's
+    centering then targets sigma*mu ~ 1e4 complementarity products on
+    the REAL rows, which blows the iterate up (measured: |z| ~ 1e15 on
+    3-contact WBC stacks before this mask). Exact semantics: an excluded
+    row is never tight, so dropping it does not change the solution.
     """
     n = c.shape[0]
     m = h.shape[0]
     dtype = c.dtype
     eye_n = jnp.eye(n, dtype=dtype)
+
+    # structurally-inactive row mask (exact; see docstring)
+    act = ((jnp.sum(jnp.abs(G), axis=1) > 1e-12)
+           & (h < inactive_h)).astype(dtype)
+    m_act = jnp.maximum(jnp.sum(act), 1.0)
+    G = G * act[:, None]
+    h = jnp.where(act > 0, h, 1.0)   # inert rows: 0 x <= 1, s = 1, lam = 0
 
     # Jacobi equilibration: x = S x'', S = diag(1/sqrt(H_kk)). A pure
     # reparameterization (exact solution unchanged), but it flattens the
@@ -110,38 +128,47 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
         G = G * s_eq[None, :]
     else:
         s_eq = jnp.ones(n, dtype=dtype)
+    # factor-form H matvec mapped into the equilibrated coordinates
+    # (x = s_eq * x'' => H'' x'' = s_eq * H_mv(s_eq * x''))
+    H_mv_eq = ((lambda x: s_eq * H_mv(s_eq * x)) if H_mv is not None
+               else (lambda x: H @ x))
 
     x0 = jnp.linalg.solve(H + 1e-8 * eye_n, -c)
-    s0 = jnp.maximum(h - G @ x0, 1.0)
-    lam0 = jnp.ones(m, dtype=dtype)
+    s0 = jnp.maximum(h - G @ x0, 1.0) * act + (1.0 - act)
+    lam0 = act
     scale = jnp.maximum(1.0, jnp.linalg.norm(c))
 
     def merit(x, s, lam):
-        r_d = H @ x + c + G.T @ lam
-        viol = jnp.maximum(G @ x - h, 0.0)
+        r_d = H_mv_eq(x) + c + G.T @ lam
+        viol = jnp.maximum(G @ x - h, 0.0) * act
         return (jnp.sum(r_d * r_d) + 100.0 * jnp.sum(viol * viol)
-                + jnp.sum(jnp.abs(s * lam)))
+                + jnp.sum(jnp.abs(s * lam) * act))
 
     big = jnp.asarray(1e30, dtype=dtype)
 
     def maxstep(v, dv):
-        """max alpha in [0,1] with v + alpha dv >= 0 (v > 0)."""
-        return jnp.minimum(1.0, jnp.min(jnp.where(dv < 0, -v / dv, big)))
+        """max alpha in [0,1] with v + alpha dv >= 0 on active rows."""
+        return jnp.minimum(1.0, jnp.min(jnp.where((dv < 0) & (act > 0),
+                                                  -v / dv, big)))
 
     def body(carry, _):
         x, s, lam, bx, bs, blam, bm = carry
         s = jnp.maximum(s, 1e-9)
-        lam = jnp.maximum(lam, 1e-12)
-        r_d = H @ x + c + G.T @ lam
-        r_p = G @ x + s - h
-        mu = jnp.dot(s, lam) / m
+        lam = jnp.maximum(lam, 1e-12) * act
+        r_d = H_mv_eq(x) + c + G.T @ lam
+        r_p = (G @ x + s - h) * act
+        mu = jnp.dot(s * act, lam) / m_act
         gate = jnp.where((mu < gate_tol * scale)
                          & (jnp.max(jnp.abs(r_p)) < gate_tol * scale),
                          0.0, 1.0).astype(dtype)
-        d = jnp.clip(lam / s, 1e-12, 1e8)
+        d = jnp.clip(lam / s, 1e-12, 1e8) * act
         M = H + G.T @ (d[:, None] * G)
         Minv = _pd_inverse(M)
-        solveM = lambda rhs: _pd_solve(Minv, M, rhs)
+        # Newton solves refine against the MATERIALIZED M: with d up to
+        # 1e8, a factor-form residual G'(d*(Gx)) amplifies f32 matvec
+        # noise by d and diverges (measured: 3x worse torques); the
+        # materialized form keeps |I - Minv M| small regardless of scale.
+        solveM = lambda rhs: _pd_solve(Minv, lambda x: M @ x, rhs)
         # predictor (affine direction)
         rc_aff = (-s * lam + lam * r_p) / s
         dx_a = solveM(-(r_d + G.T @ rc_aff))
@@ -149,13 +176,14 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
         dl_a = (-s * lam - lam * ds_a) / s
         ap_a = maxstep(s, ds_a)
         ad_a = maxstep(lam, dl_a)
-        mu_aff = jnp.dot(s + ap_a * ds_a, lam + ad_a * dl_a) / m
+        mu_aff = jnp.dot((s + ap_a * ds_a) * act,
+                         lam + ad_a * dl_a) / m_act
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-12)) ** 3, 1e-4, 1.0)
         # corrector
-        rc = (sigma * mu - s * lam - ds_a * dl_a + lam * r_p) / s
+        rc = (sigma * mu - s * lam - ds_a * dl_a + lam * r_p) / s * act
         dx = solveM(-(r_d + G.T @ rc))
         ds = -r_p - G @ dx
-        dlam = (sigma * mu - s * lam - ds_a * dl_a - lam * ds) / s
+        dlam = (sigma * mu - s * lam - ds_a * dl_a - lam * ds) / s * act
         ap = gate * tau * maxstep(s, ds)
         ad = gate * tau * maxstep(lam, dlam)
         x = x + ap * dx
@@ -173,7 +201,7 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
     (x, s, lam, bx, bs, blam, _), _ = jax.lax.scan(body, init, None,
                                                    length=num_iters)
     return QpSolution(x=bx * s_eq, lam=blam, s=bs,
-                      gap=jnp.dot(bs, blam) / m)
+                      gap=jnp.dot(bs * act, blam) / m_act)
 
 
 def solve_eq_qp(H, c):

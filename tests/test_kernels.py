@@ -135,9 +135,11 @@ def test_fused_stance_torque_agreement(wbc_stacks):
 
 
 def test_fused_trot_torques_sane(wbc_stacks):
-    """Trot stacks are the ill-conditioned case: both paths carry a few
-    Nm of f32 noise vs the f64 truth (see module docstring) — require
-    finiteness, effort limits, and coarse agreement."""
+    """Trot stacks are the historically ill-conditioned case. Round 3
+    rebuilt the cascade numerics (active-row IP mask, relative ridge,
+    kappa-term removal); the fused and XLA paths each sit within ~1.3 Nm
+    of the f64 referee on this stack, so cross-path agreement gets the
+    sum bound."""
     m_, (t0, t1, t2) = wbc_stacks(jnp.asarray([1., 0., 0., 1.]),
                                   0.05 * jnp.ones(24))
     x_ref = hoqp_solve([t0, t1, t2])
@@ -145,7 +147,7 @@ def test_fused_trot_torques_sane(wbc_stacks):
     tau_r = np.asarray(recover_torques(m_, x_ref))
     tau_f = np.asarray(recover_torques(m_, x_fus))
     assert np.isfinite(tau_f).all()
-    assert np.max(np.abs(tau_r - tau_f)) < 10.0
+    assert np.max(np.abs(tau_r - tau_f)) < 2.0
 
 
 @pytest.mark.heavy
@@ -171,17 +173,29 @@ def test_wbc_update_fused_flag(wbc_stacks):
     r_x = hierarchical_wbc_update(*args, fused_cascade=False)
     r_f = hierarchical_wbc_update(*args, fused_cascade=True)
     assert np.max(np.abs(np.asarray(r_x.torques)
-                         - np.asarray(r_f.torques))) < 2.5
+                         - np.asarray(r_f.torques))) < 1.0
 
 
 @pytest.mark.heavy
 def test_cascade_vs_f64_referee(wbc_stacks):
-    """VERDICT round-1 weak #5: validate the lexicographic cascade
-    against an implementation-independent float64 referee
-    (helpers_f64.hoqp64 — converged 60-iteration IPs, numpy linalg) on
-    realistic stacks. Bounds reflect the measured f32 noise floor of the
-    ridge-conditioned levels (the referee itself drifts ~0.5 Nm between
-    60 and 120 iterations on transient stacks)."""
+    """VERDICT round-1 weak #5 / round-2 #5: validate the lexicographic
+    cascade against an implementation-independent float64 referee
+    (helpers_f64.hoqp64 — converged 60-iteration IPs, numpy linalg).
+
+    Two criteria, per the round-3 numerics study (tools/
+    diag_wbc_numerics.py + bias/noise decomposition):
+      1. TORQUES within the measured floor. At fixed inputs the f32
+         cascade sits 0.006-0.016 Nm from its own-f64 twin (pure f32
+         noise) plus ~0.9 Nm relative-ridge bias; but the trot optimum
+         has near-degenerate directions where LAST-BIT input dust moves
+         torques ~±0.7 Nm (measured: two task builds differing by 1e-7
+         relative gave 0.89 vs 1.61 Nm vs the referee). Bound = bias +
+         wander band.
+      2. LEXICOGRAPHIC OBJECTIVES: each level's achieved residual
+         ||A_p x - b_p|| must match the referee's closely — this is the
+         quantity the cascade optimizes and it is STABLE where torques
+         wander (the wander lives in directions the objectives barely
+         see)."""
     import sys
     import os
     sys.path.insert(0, os.path.dirname(__file__))
@@ -190,7 +204,7 @@ def test_cascade_vs_f64_referee(wbc_stacks):
     for name, flags, vq, tol in [
             ("stance", jnp.ones(4), jnp.zeros(24), 1.0),
             ("trot", jnp.asarray([1., 0., 0., 1.]), 0.05 * jnp.ones(24),
-             8.0)]:
+             2.5)]:
         m_, (t0, t1, t2) = wbc_stacks(flags, vq)
         tasks64 = [(np.asarray(t.A, np.float64),
                     np.asarray(t.b, np.float64),
@@ -204,6 +218,16 @@ def test_cascade_vs_f64_referee(wbc_stacks):
             m_, jnp.asarray(x32, jnp.float32)))
         err = np.max(np.abs(tau64 - tau32))
         assert np.isfinite(err) and err < tol, (name, err)
+        for li, (A, b, _D, _f) in enumerate(tasks64):
+            r64 = np.linalg.norm(A @ x64 - b)
+            r32 = np.linalg.norm(A @ x32 - b)
+            # margin: 0.5% of the task's own magnitude (the relative
+            # ridge leaves ~0.3% residual on the gravity-scale level-0
+            # rows) + 25% of the referee's achieved residual (the
+            # lowest, over-determined level legitimately lands on a
+            # slightly different compromise under the ridge)
+            assert r32 < 1.25 * r64 + 0.005 * (1.0 + np.linalg.norm(b)), (
+                name, li, r32, r64)
 
 
 @pytest.mark.heavy

@@ -72,18 +72,27 @@ def main():
         x64 = hoqp64(tasks64)
         tau64 = np.asarray(recover_torques(m_, jnp.asarray(x64, jnp.float32)))
         line = f"[{name}]"
-        for label, qr, clamp in (("proj", False, False),
-                                 ("qr", True, False),
-                                 ("qr+clamp", True, True)):
+        for label, qr, iters in (("proj", False, 15),
+                                 ("proj30", False, 30),
+                                 ("qr", True, 15)):
             hoqp.USE_QR_BASIS = qr
-            hoqp.CLAMP_CARRIED = clamp
             try:
-                x32 = np.asarray(hoqp.hoqp_solve([t0, t1, t2]))
+                x32 = np.asarray(hoqp.hoqp_solve([t0, t1, t2],
+                                                 qp_iters=iters))
                 tau32 = np.asarray(recover_torques(m_, jnp.asarray(x32)))
                 err = float(np.max(np.abs(tau64 - tau32)))
                 line += f"  {label}: {err:7.3f} Nm"
             except Exception as e:  # noqa: BLE001
                 line += f"  {label}: FAIL {type(e).__name__}"
+        hoqp.USE_QR_BASIS = False
+        try:
+            from qm_control_tpu.kernels.hoqp_fused import \
+                fused_hoqp_reference
+            xf = np.asarray(fused_hoqp_reference(t0, t1, t2))
+            tauf = np.asarray(recover_torques(m_, jnp.asarray(xf)))
+            line += f"  fused: {float(np.max(np.abs(tau64 - tauf))):7.3f} Nm"
+        except Exception as e:  # noqa: BLE001
+            line += f"  fused: FAIL {type(e).__name__}"
         print(line, flush=True)
 
 
