@@ -38,17 +38,44 @@ def _default_cfg(horizon=1.0, dt=0.015):
     return cfg.with_(wbc=dataclasses.replace(cfg.wbc, arm_settling_time=0.0))
 
 
+def _loop_cfg(control_freq: float = 1000.0, delay_s: float = 0.0):
+    """Canonical loop configuration for the accuracy experiments.
+
+    control_freq defaults to 1000 Hz — the reference's ACTUAL controller
+    tick rate (mrtDesiredFrequency, task.info:147; Gazebo joint states at
+    1 kHz, qm_gazebo/config/position_control.yaml:4). Round 2's 500 Hz
+    was the deviation and cost ~1 mm of EE limit cycle.
+
+    delay_s: actuation delay fault injection; the reference's Gazebo sim
+    runs with 0.009 s (qm_gazebo/config/default.yaml:2, QMHWSim.cpp:
+    98-116). NOTE (round-3 finding): the reference injects NO IMU noise —
+    QMHWSim::parseImu stores the default.yaml covariances as message
+    METADATA only, readSim reads exact Gazebo link states, and the main
+    branch estimator is the ground-truth cheater (FromTopicStateEstimate)
+    — so the 9 ms delay is the reference's entire sim adversity."""
+    from .runtime.plant import PlantConfig, delay_steps_for
+    plant = PlantConfig()
+    if delay_s > 0:
+        plant = plant._replace(
+            delay_steps=delay_steps_for(delay_s, push_freq=control_freq))
+    return LoopConfig(control_freq=control_freq, plant=plant)
+
+
 def _plan_exec_split(model, m):
     """Split the cycle-end EE error into MPC-planning and execution parts.
 
     FK(x_des) is where the MPC's optimized state puts the EE;
     |FK(x_des) - ee_ref| is planning error (the optimizer's own tradeoff
-    under the reference cost weights), |ee_pos - FK(x_des)| is execution
-    error (WBC + plant). Round-2 finding: the total is dominated by
-    planning — the trot support diagonals pass 20-30 mm from the
-    arm-offset CoM, the optimal plan sways the base ~25 mm, and the
-    reference's own R_arm = 1000 makes arm compensation ~1000x more
-    expensive than the 2000-weighted EE deviation it would remove."""
+    under the cost weights), |ee_pos - FK(x_des)| is execution error
+    (WBC + plant). Round-3 finding (tools/diag_trot_plan.py,
+    diag_arm_blocker.py): round 2's "the optimal plan sways the EE
+    25 mm" story was WRONG — converged solves from the worst closed-loop
+    state plan the error DOWN (mean ~1.7 mm over the horizon). The
+    closed loop instead sits in an injection-vs-decay limit cycle: the
+    multiple-shooting plan is pinned at the measured state, per-cycle
+    plant-vs-SRBD prediction error re-injects ~0.3 mm, and the plan's
+    EE-error decay rate (~2%/cycle under the reference weights) sets the
+    equilibrium amplitude."""
     from .models import kinematics as K
     xd = jnp.asarray(np.asarray(m.x_des)[-1], jnp.float32)
     q_des = C.state_to_q(xd)
@@ -75,11 +102,15 @@ def _standing_setup(cfg):
 
 def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
                      duration: float = 4.0, warmup: int = 25,
-                     transient: float = 1.0) -> dict:
-    """Config #1: EE pose hold while standing / trotting in place."""
+                     transient: float = 1.0, control_freq: float = 1000.0,
+                     delay_s: float = 0.0) -> dict:
+    """Config #1: EE pose hold while standing / trotting in place.
+
+    delay_s=0.009 reproduces the reference's Gazebo actuation-delay
+    adversity (see _loop_cfg)."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
-    loop = ControlLoop(model, info, cfg, LoopConfig())
+    loop = ControlLoop(model, info, cfg, _loop_cfg(control_freq, delay_s))
     target = target_from_knots([0.0, duration + 5], [s, s])
     # Reference protocol: settle in STANCE first, capture the EE's own
     # settled pose as the hold target (an idealized target bakes in the
@@ -126,15 +157,23 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
 
 
 def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
-                     speed: float = 0.15, distance: float = 0.3,
-                     max_time: float = 10.0, warmup: int = 25) -> dict:
+                     speed: float = 0.03, distance: float = 0.3,
+                     max_time: float = 12.0, warmup: int = 25,
+                     control_freq: float = 1000.0,
+                     delay_s: float = 0.0) -> dict:
     """Config #2: cmd_vel traverse with the EE pose held fixed in world
     (the README 30 cm EE-stability experiment). Targets are re-issued
     from the current observation each MPC chunk, like the reference's
-    publisher node."""
+    publisher node.
+
+    Default speed/duration follow the reference's PUBLISHED experiment:
+    its plots (docs/position_err.png) show the base covering 0.3 m in
+    ~10 s — a 0.03 m/s crawl — with EE peaks 1.5-3.5 mm synchronized to
+    the trot cycle (round 2 measured at 0.15 m/s, 5x faster than the
+    reference actually walked)."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
-    loop = ControlLoop(model, info, cfg, LoopConfig())
+    loop = ControlLoop(model, info, cfg, _loop_cfg(control_freq, delay_s))
     ee_hold = None   # captured at walk start: the reference holds the
     # EE at its OBSERVED pose when locomotion begins, not a nominal one
     target = target_from_knots([0.0, max_time + 5], [s, s])
@@ -147,6 +186,7 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     carry = loop.warmup(carry, target, ms, num_solves=warmup)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
     phase = "settle"
+    x_start = 0.0
     worst_pos = worst_ori = worst_plan = worst_exec = 0.0
     log = TrajectoryLog()
     while float(carry.t) < max_time:
@@ -158,7 +198,8 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
         if phase == "settle" and float(carry.t) >= 0.5:
             phase = "walk"
             ee_hold = ee_state.copy()
-        if phase == "walk" and x_now >= distance:
+            x_start = x_now
+        if phase == "walk" and abs(x_now - x_start) >= distance:
             phase = "stop"
         v_cmd = [speed, 0, 0, 0] if phase == "walk" else [0, 0, 0, 0]
         hold = ee_state.copy() if ee_hold is None else ee_hold.copy()
@@ -175,7 +216,7 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
             break
     return {
         "experiment": f"traverse_ee_hold[{gait}, {speed} m/s]",
-        "distance_reached_m": float(carry.plant.q[0]),
+        "distance_reached_m": abs(float(carry.plant.q[0]) - x_start),
         "ee_pos_err_max_mm": 1e3 * worst_pos,
         "ee_ori_err_max_deg": float(np.degrees(worst_ori)),
         "ee_plan_err_max_mm": 1e3 * worst_plan,

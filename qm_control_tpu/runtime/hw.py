@@ -107,12 +107,21 @@ class SimHardware:
 class HardwareLoop:
     """Host-paced controller against a HardwareInterface: the
     QMController::update flow for real hardware. The caller owns the
-    clock (call `tick()` at control_freq); MPC solves happen inline at
-    mpc_freq ticks (swap in runtime.mrt's async worker for a true
-    background MPC thread)."""
+    clock (call `tick()` at control_freq, or use `run_paced()` for a
+    wall-clock-paced loop with overrun accounting).
+
+    MPC placement (reference QMController.cpp:309-334 setupMrt thread
+    boundary): with `async_mpc=True` (default) solves run on the
+    runtime.mrt worker thread paced to mpc_freq, exchanging the policy
+    through the native seqlock buffer — a >=1.6 ms solve never stalls
+    the 2 ms control tick. `async_mpc=False` keeps the round-2 inline
+    behavior (solve on every ticks_per_mpc-th tick) for deterministic
+    single-thread tests."""
 
     def __init__(self, model: RobotModel, info, cfg: QmConfig, hw,
-                 control_freq: float = 500.0, mpc_freq: float = 100.0):
+                 control_freq: float = 500.0, mpc_freq: float = 100.0,
+                 async_mpc: bool = True):
+        import jax as _jax
         from ..mpc.mpc import MpcSolver, evaluate_policy
         from ..wbc.wbc import HierarchicalWbc
         self.model, self.info, self.cfg, self.hw = model, info, cfg, hw
@@ -121,25 +130,98 @@ class HardwareLoop:
         self._eval = evaluate_policy
         self.est: ImuEstimatorState = init_imu_estimator()
         self.ticks_per_mpc = int(round(control_freq / mpc_freq))
+        self.control_freq = control_freq
         self.tick_dt = 1.0 / control_freq
         self.policy = None
         self.t = 0.0
         self._k = 0
+        self.async_mpc = async_mpc
+        self.mrt = None
+        if async_mpc:
+            from .mrt import MpcMrtInterface
+            self.mrt = MpcMrtInterface(self.solver, mpc_frequency=mpc_freq)
+
+        # jitted tick stages: the real-time path must be a couple of
+        # compiled dispatches, not hundreds of eager ops (measured
+        # ~360 ms/tick eager on CPU vs ~ms compiled)
+        def _estimate(est, quat, gyro, jpos, jvel, bpos, bvel, cflags):
+            rbd, mode, new_est = imu_estimator_update(
+                self.model, est, quat, gyro, jpos, jvel, bpos, bvel,
+                cflags)
+            x_obs = observation_from_rbd(self.model, self.info, rbd)
+            return rbd, x_obs, new_est
+
+        self._estimate = _jax.jit(_estimate)
+
+    def start(self, target, mode_schedule, base_pos_hint, base_vel_hint,
+              timeout: float = 300.0):
+        """The reference's starting() handshake (QMController.cpp:98-126):
+        publish the first observation and block until the async worker
+        delivers the initial policy. No-op in inline mode."""
+        if not self.async_mpc:
+            return
+        import time as _time
+        r = self.hw.read()
+        rbd, x_obs, self.est = self._estimate(
+            self.est, r.imu_quat_wxyz, r.imu_gyro, r.joint_pos,
+            r.joint_vel, jnp.asarray(base_pos_hint),
+            jnp.asarray(base_vel_hint), r.contact_flags)
+        self.mrt.set_current_observation(self.t, x_obs, target,
+                                         mode_schedule)
+        self.mrt.start()
+        deadline = _time.perf_counter() + timeout
+        while not self.mrt.initial_policy_received():
+            if _time.perf_counter() > deadline:
+                raise TimeoutError("no initial MPC policy within "
+                                   f"{timeout}s")
+            _time.sleep(0.002)
+
+    def stop(self):
+        if self.mrt is not None:
+            self.mrt.stop()
+
+    def run_paced(self, num_ticks, target, mode_schedule, base_pos_fn,
+                  base_vel_fn):
+        """Drive tick() against the wall clock at control_freq using the
+        native RatePacer (absolute deadlines); returns the overrun count
+        — the real-time health metric the reference reads off its
+        RepeatedTimer maxima (QMController.cpp:342-355).
+
+        base_pos_fn/base_vel_fn: callables () -> (3,) hints (odometry
+        source)."""
+        from .. import native as _native
+        pacer = (_native.RatePacer(self.control_freq)
+                 if _native.AVAILABLE else None)
+        for _ in range(num_ticks):
+            self.tick(target, mode_schedule, base_pos_fn(), base_vel_fn())
+            if pacer is not None:
+                pacer.sleep()
+        return pacer.overruns if pacer is not None else -1
 
     def tick(self, target, mode_schedule, base_pos_hint, base_vel_hint):
         """One control tick: read -> estimate -> (MPC) -> WBC -> write.
         base_pos/vel hints stand in for the leg-odometry fusion a full
         estimator would provide (reference uses cheater/TF estimates)."""
         r = self.hw.read()
-        rbd, _sensed_mode, self.est = imu_estimator_update(
-            self.model, self.est, r.imu_quat_wxyz, r.imu_gyro,
-            r.joint_pos, r.joint_vel, base_pos_hint, base_vel_hint,
-            r.contact_flags)
-        x_obs = observation_from_rbd(self.model, self.info, rbd)
-        if self.policy is None or self._k % self.ticks_per_mpc == 0:
-            self.policy = self.solver.solve(self.t, x_obs, target,
-                                            mode_schedule)
-        x_des, u_des, mode = self._eval(self.policy, jnp.asarray(self.t))
+        rbd, x_obs, self.est = self._estimate(
+            self.est, r.imu_quat_wxyz, r.imu_gyro, r.joint_pos,
+            r.joint_vel, jnp.asarray(base_pos_hint),
+            jnp.asarray(base_vel_hint), r.contact_flags)
+        if self.async_mpc:
+            # publish observation; read the newest policy (never blocks
+            # on the worker: seqlock buffer)
+            self.mrt.set_current_observation(self.t, x_obs, target,
+                                             mode_schedule)
+            x_des_np, u_des_np, mode = self.mrt.evaluate(self.t, x_obs)
+            x_des = jnp.asarray(x_des_np)
+            u_des = jnp.asarray(u_des_np)
+            mode = jnp.asarray(mode)
+        else:
+            if self.policy is None or self._k % self.ticks_per_mpc == 0:
+                self.policy = self.solver.solve(self.t, x_obs, target,
+                                                mode_schedule)
+            x_des, u_des, mode = self._eval(self.policy,
+                                            jnp.asarray(self.t))
         flags = contact_flags_from_mode(mode).astype(jnp.float32)
         from .estimator import rbd_to_qv
         q_meas, v_meas = rbd_to_qv(rbd)

@@ -150,36 +150,64 @@ def point_two_host():
     raise RuntimeError("no RESULT line")
 
 
+def _cpu_point(n_devices, B, label):
+    """One-process CPU-mesh point in a subprocess (needs its own
+    XLA_FLAGS)."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import os;"
+         "os.environ['JAX_PLATFORMS']='cpu';"
+         "os.environ['XLA_FLAGS']="
+         "'--xla_force_host_platform_device_count=%d';"
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys, json; sys.path.insert(0, %r);"
+         "from tools.scaling_bench import point_current_backend;"
+         "r = point_current_backend(B=%d, iters=2);"
+         "r['point'] = %r;"
+         "print('RESULT ' + json.dumps(r))" % (n_devices, REPO, B, label)],
+        capture_output=True, text=True, timeout=1200,
+        env={**{k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+             "PYTHONPATH": REPO}, cwd=REPO)
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(r.stdout[-2000:] + r.stderr[-2000:])
+
+
 def main():
     skip_tpu = "--skip-tpu" in sys.argv
     results = []
-    # point 1: current backend in-process (TPU if attached)
+    # point 1: the real attached chip (absolute per-chip throughput)
     if not skip_tpu:
         import jax  # noqa: F401
         results.append(point_current_backend())
         print(json.dumps(results[-1]))
-    # points 2-3 run in subprocesses (they need different XLA flags)
-    onehost = subprocess.run(
-        [sys.executable, "-c",
-         "import os;"
-         "os.environ['JAX_PLATFORMS']='cpu';"
-         "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
-         "import jax; jax.config.update('jax_platforms','cpu');"
-         "import sys, json; sys.path.insert(0, %r);"
-         "from tools.scaling_bench import point_current_backend;"
-         "r = point_current_backend(B=8, iters=2);"
-         "r['point'] = '1host_cpu8';"
-         "print('RESULT ' + json.dumps(r))" % REPO],
-        capture_output=True, text=True, timeout=900,
-        env={**{k: v for k, v in os.environ.items()
-                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
-             "PYTHONPATH": REPO}, cwd=REPO)
-    for line in onehost.stdout.splitlines():
-        if line.startswith("RESULT "):
-            results.append(json.loads(line[len("RESULT "):]))
-            print(json.dumps(results[-1]))
+    # point 2: 1 process x 4 virtual CPU devices — the EQUAL-DEVICE
+    # baseline for the 2-process point (same total devices, same batch),
+    # so the 2-host efficiency is a like-for-like ratio
+    results.append(_cpu_point(4, 8, "1host_cpu4"))
+    print(json.dumps(results[-1]))
+    # point 3: 1 process x 8 virtual CPU devices (mesh-width scaling)
+    results.append(_cpu_point(8, 8, "1host_cpu8"))
+    print(json.dumps(results[-1]))
+    # point 4: 2 processes x 2 devices (jax.distributed over localhost)
     results.append(point_two_host())
     print(json.dumps(results[-1]))
+
+    by = {r["point"]: r for r in results}
+    if "1host_cpu4" in by and "2host_cpu" in by:
+        base, two = by["1host_cpu4"], by["2host_cpu"]
+        # same devices (4) + same global batch (8): a perfectly linear
+        # multi-process runtime would match the single-process one, so
+        # efficiency = t_1proc / t_2proc = sps_2proc / sps_1proc
+        two["efficiency_vs_equal_device_1proc"] = round(
+            two["solves_per_s"] / base["solves_per_s"], 3)
+        two["note"] = ("CPU-mesh points measure sharding correctness and "
+                       "multi-process overhead shape, not absolute "
+                       "throughput (see the 1-chip TPU point for that); "
+                       "efficiency < 1 is jax.distributed coordination "
+                       "overhead over localhost")
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(results, f, indent=1)
 

@@ -23,9 +23,15 @@ VARIANTS = [
     "baseline",          # reference task.info values, trot, WBC 500 Hz
     "wbc_1khz",          # control loop at 1 kHz (reference update() rate)
     "standing_trot",     # gait with stance interludes
-    "ee_mu_x2",          # penalty read as mu*h^2 instead of 0.5*mu*h^2
+    "ee_mu_x2",          # doubled EE pose penalty
     "sqp_iters3",        # more SQP convergence per cycle
     "r_arm_x0.1",        # cheaper arm velocity (R_arm 1.0 -> 0.1)
+    # round-3 second wave: combined closed-loop levers
+    "khz_mu2",           # 1 kHz + doubled EE penalty
+    "khz_simdt05",       # 1 kHz + 0.5 ms physics substeps
+    "khz_mu2_simdt05",   # both
+    "khz_soft",          # 1 kHz + softer ground (gentler touchdowns)
+    "khz_mu4",           # 1 kHz + 4x EE penalty
 ]
 
 
@@ -63,6 +69,21 @@ def run_variant(name: str) -> dict:
         r = list(cfg.cost.r_diag)
         r[24:30] = [100.0] * 6
         cfg = cfg.with_(cost=dataclasses.replace(cfg.cost, r_diag=tuple(r)))
+    elif name.startswith("khz"):
+        from qm_control_tpu.runtime.plant import PlantConfig
+        plant = PlantConfig()
+        if "simdt05" in name:
+            plant = plant._replace(sim_dt=0.0005)
+        if "soft" in name:
+            plant = plant._replace(contact_kp=15000.0, contact_kd=1200.0)
+        loop_cfg = LoopConfig(control_freq=1000.0, plant=plant)
+        mu = 2.0 if "mu2" in name else (4.0 if "mu4" in name else 1.0)
+        if mu != 1.0:
+            cfg = cfg.with_(cost=dataclasses.replace(
+                cfg.cost, ee_mu_position=2000.0 * mu,
+                ee_mu_orientation=1000.0 * mu,
+                final_ee_mu_position=2000.0 * mu,
+                final_ee_mu_orientation=1000.0 * mu))
 
     model = load_model()
     info = C.make_centroidal_info(model)
