@@ -36,7 +36,22 @@ import jax.numpy as jnp
 class SqpSettings(NamedTuple):
     num_iterations: int = 1          # task.info sqp.sqpIteration
     reg: float = 1e-5                # Levenberg shift on Quu
-    merit_nu: float = 1e4            # L1 defect penalty in the merit
+    merit_nu: float = 1e4            # L1 defect penalty (best-iterate
+    # tie-break only; step ACCEPTANCE is the filter below — see g_max)
+    # Filter line search (the acceptance rule OCS2's own SQP uses; its
+    # parameters are the reference's task.info:82-83 g_max/g_min).
+    # Round-3 finding: a fixed L1-merit acceptance with nu=1e4 FROZE
+    # every warm-started re-solve whose target had moved — from a
+    # defect-free warm point, any step's O(alpha^2) linearization
+    # defects cost more under nu than the tracking improvement gains,
+    # so all candidates were rejected, the MPC returned its warm start
+    # verbatim, and the closed loop could never track a moving command
+    # (measured: commanded 0.3 m/s, achieved 0.0 from warm vs 0.2
+    # planned from cold). The filter accepts cost progress while
+    # defects stay within g_max, and drives defects first when they
+    # exceed it.
+    g_max: float = 1e-2              # task.info sqp.g_max
+    g_min: float = 1e-6              # task.info sqp.g_min
     # 4 parallel step-length candidates (each costs one full merit
     # evaluation; 4 covers warm-started MPC well — maxStepLength 1.0,
     # minStepLength 1e-2 per the reference line-search bounds)
@@ -197,8 +212,11 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
         dX = jnp.concatenate([dX, dxN[None]], axis=0)
         return X + dX, W + dW
 
+    g_max = settings.g_max
+    g_min = settings.g_min
+
     def iteration(carry, _):
-        X, W, m_cur, cost_cur, d = carry
+        X, W, cost_cur, vio_cur, d = carry
         A, B, lx, lu, lxx, luu, lux = linearize(X, W)
         _, VxN, VxxN = final_quad(final_data, X[-1])
         VxxN = 0.5 * (VxxN + VxxN.T)
@@ -207,24 +225,38 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
 
         def candidate(alpha):
             Xc, Wc = linear_forward(X, W, A, B, d, kffs, Kfbs, alpha)
-            mc, cc, dc = merit(Xc, Wc)
-            return Xc, Wc, mc, cc, dc
-        Xc, Wc, mc, cc, dc = jax.vmap(candidate)(alphas)
-        mc = jnp.where(jnp.isfinite(mc), mc, jnp.inf)
-        best = jnp.argmin(mc)
-        improved = mc[best] < m_cur
+            _, cc, dc = merit(Xc, Wc)
+            return Xc, Wc, cc, jnp.sum(jnp.abs(dc)), dc
+        Xc, Wc, cc, vc, dc = jax.vmap(candidate)(alphas)
+        finite = jnp.isfinite(cc) & jnp.isfinite(vc)
+        cc = jnp.where(finite, cc, jnp.inf)
+        vc = jnp.where(finite, vc, jnp.inf)
+        # Filter acceptance (OCS2 SQP semantics; task.info g_max/g_min):
+        #  - infeasible phase (violation > g_max): a step must cut the
+        #    violation; cost is secondary;
+        #  - feasible phase: a step must cut the cost while keeping the
+        #    violation within the g_max corridor (linearization defects
+        #    of an accepted step are re-contracted by later iterations).
+        feasible = vio_cur <= g_max
+        acc_inf = vc < (1.0 - 1e-4) * vio_cur
+        acc_fea = (cc < cost_cur) & (vc <= jnp.maximum(
+            g_max, vio_cur + g_min))
+        accept = jnp.where(feasible, acc_fea, acc_inf) & finite
+        score = jnp.where(accept, jnp.where(feasible, cc, vc), jnp.inf)
+        best = jnp.argmin(score)
+        improved = accept[best]
         X_new = jnp.where(improved, Xc[best], X)
         W_new = jnp.where(improved, Wc[best], W)
         d_new = jnp.where(improved, dc[best], d)
         c_new = jnp.where(improved, cc[best], cost_cur)
-        m_new = jnp.minimum(mc[best], m_cur)
+        v_new = jnp.where(improved, vc[best], vio_cur)
         alpha_used = jnp.where(improved, alphas[best], 0.0)
-        return (X_new, W_new, m_new, c_new, d_new), (Kfbs, alpha_used)
+        return (X_new, W_new, c_new, v_new, d_new), (Kfbs, alpha_used)
 
     X0 = X_init.at[0].set(x0)
-    m0, c0, d0 = merit(X0, W_init)
-    (X, W, _, cost, d_final), (Kfbs, alpha) = jax.lax.scan(
-        iteration, (X0, W_init, m0, c0, d0), None,
+    _, c0, d0 = merit(X0, W_init)
+    (X, W, cost, _, d_final), (Kfbs, alpha) = jax.lax.scan(
+        iteration, (X0, W_init, c0, jnp.sum(jnp.abs(d0)), d0), None,
         length=settings.num_iterations)
     return SqpSolution(X=X, W=W, cost=cost,
                        defect=jnp.max(jnp.abs(d_final)),
