@@ -109,8 +109,10 @@ def main():
             from bench_latency import measure_latencies
             lat = measure_latencies(cfg, model, info, x0, target, ms)
             result.update(lat)
-            result["mpc_deadline_10ms_met"] = lat["mpc_b1_ms"] <= 10.0
-            result["wbc_deadline_2ms_met"] = lat["wbc_b1_fused_ms"] <= 2.0
+            result["mpc_deadline_10ms_met"] = bool(
+                lat["mpc_b1_ms"] <= 10.0)
+            result["wbc_deadline_2ms_met"] = bool(
+                lat["wbc_b1_fused_ms"] <= 2.0)
         except Exception as e:  # noqa: BLE001 - never lose the line
             result["latency_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
