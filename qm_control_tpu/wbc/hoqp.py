@@ -48,16 +48,11 @@ CLAMP_CARRIED = True   # trace-time switch: clamp carried inequality
 # presenting the IP with an infeasible-at-origin carried row is what
 # destabilized the exact-basis cascade in closed loop (see USE_QR_BASIS).
 USE_QR_BASIS = False  # trace-time switch: exact-zero QR kernel basis vs
-# the damped projector. Default OFF after a round-2 closed-loop study:
-# the exact basis leaves later levels with only the true kernel
-# dimensions, and f32 drift in carried inequalities (h = f - Dx + v*)
-# then presents them with numerically-violated constraints they cannot
-# reach — the fixed-iteration IP pushes its few free dimensions to
-# |z| ~ 1e4 and the loop diverges within ~10 ms of gait. The damped
-# projector's ~1e-7 leakage keeps every constraint direction slightly
-# reachable, diffusing that pressure — an accidental but load-bearing
-# regularization. The QR basis remains available for open-loop use and
-# is exercised by tests/test_kernels.py.
+# the damped projector. Default OFF: with the round-3 numerics (act-mask
+# IP + relative ridge) the damped projector measures 0.6-1.6 Nm from the
+# f64 referee across stance/trot/transient stacks while the QR basis
+# measures 5-8 Nm (tools/diag_wbc_numerics.py) — the projector is now
+# simply the more accurate cascade, not an accidental regularizer.
 
 
 def _kernel_projector(Az):
