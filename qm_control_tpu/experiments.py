@@ -157,7 +157,7 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
 
 
 def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
-                     speed: float = 0.03, distance: float = 0.3,
+                     speed: float = -0.03, distance: float = 0.3,
                      max_time: float = 12.0, warmup: int = 25,
                      control_freq: float = 1000.0,
                      delay_s: float = 0.0) -> dict:
@@ -187,6 +187,9 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
     phase = "settle"
     x_start = 0.0
+    max_retreat = 0.0   # peak |displacement|: the EE-hold acts as a
+    # spring at large arm extension and can pull the base back, so the
+    # end-time displacement alone underreports how far the robot walked
     worst_pos = worst_ori = worst_plan = worst_exec = 0.0
     log = TrajectoryLog()
     while float(carry.t) < max_time:
@@ -199,6 +202,7 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
             phase = "walk"
             ee_hold = ee_state.copy()
             x_start = x_now
+        max_retreat = max(max_retreat, abs(x_now - x_start))
         if phase == "walk" and abs(x_now - x_start) >= distance:
             phase = "stop"
         v_cmd = [speed, 0, 0, 0] if phase == "walk" else [0, 0, 0, 0]
@@ -217,6 +221,7 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     return {
         "experiment": f"traverse_ee_hold[{gait}, {speed} m/s]",
         "distance_reached_m": abs(float(carry.plant.q[0]) - x_start),
+        "max_displacement_m": max_retreat,
         "ee_pos_err_max_mm": 1e3 * worst_pos,
         "ee_ori_err_max_deg": float(np.degrees(worst_ori)),
         "ee_plan_err_max_mm": 1e3 * worst_plan,
