@@ -160,7 +160,8 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
                      speed: float = -0.03, distance: float = 0.3,
                      max_time: float = 12.0, warmup: int = 25,
                      control_freq: float = 1000.0,
-                     delay_s: float = 0.0) -> dict:
+                     delay_s: float = 0.0,
+                     cmd_ramp_s: float = 0.5) -> dict:
     """Config #2: cmd_vel traverse with the EE pose held fixed in world
     (the README 30 cm EE-stability experiment). Targets are re-issued
     from the current observation each MPC chunk, like the reference's
@@ -202,10 +203,19 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
             phase = "walk"
             ee_hold = ee_state.copy()
             x_start = x_now
+            t_walk = float(carry.t)
         max_retreat = max(max_retreat, abs(x_now - x_start))
         if phase == "walk" and abs(x_now - x_start) >= distance:
             phase = "stop"
-        v_cmd = [speed, 0, 0, 0] if phase == "walk" else [0, 0, 0, 0]
+        if phase == "walk":
+            # gamepad-realistic command ramp: a human stick reaches the
+            # commanded deflection over ~0.5 s, not as a step (a step
+            # excites the walk-start transient that dominates the error
+            # maximum)
+            ramp = min(1.0, (float(carry.t) - t_walk) / cmd_ramp_s)                 if cmd_ramp_s > 0 else 1.0
+            v_cmd = [speed * ramp, 0, 0, 0]
+        else:
+            v_cmd = [0, 0, 0, 0]
         hold = ee_state.copy() if ee_hold is None else ee_hold.copy()
         target, _ = cmd_vel_to_target(v_cmd, hold, float(carry.t),
                                       x_obs, ee_state, cfg.reference)
@@ -279,7 +289,8 @@ def disturbance_rejection(cfg: Optional[QmConfig] = None,
                           ee_force: float = 25.0,
                           push_velocity: float = 0.0,
                           settle: float = 1.0, hold: float = 1.5,
-                          release: float = 1.0, warmup: int = 25) -> dict:
+                          release: float = 1.0, warmup: int = 25,
+                          settle_band_mm: float = 5.0) -> dict:
     """Config #4: EE force disturbance. A sustained world-frame force of
     `ee_force` N (lateral, -y) is applied at the arm EE for `hold`
     seconds, then released; the WBC receives the wrench as a measured
@@ -316,7 +327,6 @@ def disturbance_rejection(cfg: Optional[QmConfig] = None,
     # quantitative recovery: settle = EE back within settle_band of the
     # target and STAYING there for the remainder of the release window
     rel_errs = 1e3 * np.asarray(m.ee_pos_err)
-    settle_band_mm = 5.0
     inside = rel_errs <= settle_band_mm
     settled_from = None
     for i in range(len(inside)):
