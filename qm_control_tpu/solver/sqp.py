@@ -64,7 +64,11 @@ class SqpSettings(NamedTuple):
     # True: associative-scan Riccati + prefix-scan rollout
     # (solver.pariccati) — ceil(log2 N) rounds instead of N dependent
     # steps; the sequence-axis parallelism of the horizon (SURVEY §5).
-    # Best for B=1 latency; the serial scan stays the batch default.
+    # MEASURED on a v5e at B=1 (round 3): 3.93 ms/solve vs 1.54 ms for
+    # the serial sweep — the log-depth win is swamped by each round's
+    # large 30x30 element compositions at N=67, so OFF is the measured
+    # default for both the B=1 and batched paths. The variant stays for
+    # longer horizons where log-depth eventually wins.
     parallel_riccati: bool = False
 
 
