@@ -308,7 +308,10 @@ def disturbance_rejection(cfg: Optional[QmConfig] = None,
     closure plumbing is missing."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
-    loop = ControlLoop(model, info, cfg, LoopConfig())
+    # mpc_wrench_feedthrough: the measured wrench reaches the MPC
+    # dynamics too (beyond the reference; see the envelope note above)
+    loop = ControlLoop(model, info, cfg,
+                       LoopConfig(mpc_wrench_feedthrough=True))
     target = target_from_knots([0.0, 20.0], [s, s])
     ms = GaitSchedule(GAIT_LIBRARY["stance"]).mode_schedule(0.0, 20.0)
     carry = loop.init_carry(q0)

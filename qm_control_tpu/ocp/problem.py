@@ -95,28 +95,33 @@ def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig) -> Ocp:
         p = input_parameterization(model, info, x, flags, zdot)
         return apply_input_param(p, w)
 
-    def flow(x, u):
-        return C.flow_map(model, info, x, u)
+    def flow(x, u, ee_wrench=None):
+        return C.flow_map(model, info, x, u, ee_wrench=ee_wrench)
 
-    def dynamics(t, flags, zdot, x, w):
+    def dynamics(t, flags, zdot, x, w, ee_wrench=None):
+        # ee_wrench: optional measured world wrench fed through to the
+        # dynamics — DISTURBANCE-AWARE planning (the reference's MPC
+        # never sees the wrench; trace-time opt-in because the wrench
+        # term costs one extra EE FK per flow evaluation)
         u = input_of(t, flags, zdot, x, w)
         # RK2 midpoint, zero-order-hold input (sqp.integratorType RK2,
         # task.info:92)
-        k1 = flow(x, u)
-        k2 = flow(x + 0.5 * dt * k1, u)
+        k1 = flow(x, u, ee_wrench)
+        k2 = flow(x + 0.5 * dt * k1, u, ee_wrench)
         return x + dt * k2
 
     def stage_cost(t, flags, zdot, x, w, target: TargetTrajectory):
         u = input_of(t, flags, zdot, x, w)
         return dt * stage_l(t, x, u, target, flags)
 
-    def cost_and_dynamics(t, flags, zdot, x, w, target: TargetTrajectory):
+    def cost_and_dynamics(t, flags, zdot, x, w, target: TargetTrajectory,
+                          ee_wrench=None):
         """Fused stage cost + next state: evaluates the (FK-heavy) input
         reparameterization ONCE — the solver's merit needs both."""
         u = input_of(t, flags, zdot, x, w)
         c = dt * stage_l(t, x, u, target, flags)
-        k1 = flow(x, u)
-        k2 = flow(x + 0.5 * dt * k1, u)
+        k1 = flow(x, u, ee_wrench)
+        k2 = flow(x + 0.5 * dt * k1, u, ee_wrench)
         return c, x + dt * k2
 
     def final_cost(t, x, target: TargetTrajectory):
@@ -145,7 +150,8 @@ def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig) -> Ocp:
     def final_quadratize(t, x, target: TargetTrajectory):
         return final_q(t, x, target)
 
-    def stage_linearize(t, flags, zdot, x, w, target: TargetTrajectory):
+    def stage_linearize(t, flags, zdot, x, w, target: TargetTrajectory,
+                        ee_wrench=None):
         """Fused dynamics linearization + cost quadratization: ONE
         jax.linearize over z = (x, w) of the combined (x_next, u, e_ee)
         map yields A, B, the input-map Jacobian du/dx, N = du/dw, AND the
@@ -159,8 +165,8 @@ def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig) -> Ocp:
             xx, ww = z[:30], z[30:]
             p = input_parameterization(model, info, xx, flags, zdot)
             uu = apply_input_param(p, ww)
-            k1 = flow(xx, uu)
-            k2 = flow(xx + 0.5 * dt * k1, uu)
+            k1 = flow(xx, uu, ee_wrench)
+            k2 = flow(xx + 0.5 * dt * k1, uu, ee_wrench)
             e = ee_residual(model, xx, p_ref, q_ref)
             return jnp.concatenate([xx + dt * k2, uu, e])
 

@@ -50,6 +50,10 @@ class LoopConfig(NamedTuple):
     # cascade (kernels.hoqp_fused) on TPU backends — the only WBC path
     # that meets the 2 ms deadline (1.3 ms vs 19-23 ms for the XLA
     # op-per-op cascade on TPU v5e) — and the XLA cascade on CPU
+    mpc_wrench_feedthrough: bool = False  # feed the plant's measured EE
+    # wrench into the MPC dynamics (disturbance-aware planning — beyond
+    # the reference, whose MPC never sees the wrench). Off by default:
+    # it costs one extra EE FK per flow evaluation on the hot path.
 
     @property
     def ticks_per_cycle(self) -> int:
@@ -108,11 +112,13 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
         # --- estimator + MPC solve (the async thread's work, §3.4) ---
         rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
         x_obs = observation_from_rbd(model, info, rbd, carry.last_yaw)
+        mpc_wrench = (carry.plant.ee_wrench
+                      if loop_cfg.mpc_wrench_feedthrough else None)
         policy = mpc_step(ocp, model, info, cfg, settings, carry.t, x_obs,
                           target, ms, carry.W_warm, carry.X_warm,
                           jnp.asarray(1.0 / loop_cfg.mpc_freq,
                                       dtype=jnp.float32),
-                          jnp.asarray(False))
+                          jnp.asarray(False), ee_wrench=mpc_wrench)
         new_yaw = x_obs[9]
 
         # --- control ticks (the real-time loop's work, §3.3) ---
