@@ -142,6 +142,12 @@ class MpcConfig:
     mrt_frequency: float = 1000.0      # mrtDesiredFrequency
     integrator: str = "rk2"            # sqp.integratorType RK2
     cold_start: bool = False
+    # Structured (analytic) stage linearization (ocp/linearize.py):
+    # same outputs as the fused-autodiff path at f32 roundoff
+    # (tests/test_linearize.py), 1.24x faster and -27% HBM bytes at
+    # B=256 on v5e. False selects the 60-tangent jax.linearize path
+    # (kept as the independent cross-check the tests compare against).
+    structured_linearize: bool = True
 
     @property
     def num_nodes(self) -> int:

@@ -35,6 +35,8 @@ class MpcPolicy(NamedTuple):
     modes: jnp.ndarray     # (N+1,) int32 planned modes at the nodes
     cost: jnp.ndarray      # scalar solver cost
     W: jnp.ndarray         # (N, nw) reduced inputs (warm-start state)
+    alpha: jnp.ndarray     # accepted line-search step of the last iteration
+    defect: jnp.ndarray    # max |defect| at the returned iterate
 
 
 def evaluate_policy(policy: MpcPolicy, t):
@@ -174,4 +176,5 @@ def mpc_step(ocp, model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
     U = jnp.concatenate([U, U[-1:]], axis=0)
     modes = jax.vmap(lambda tt: mode_at_time(ms, tt))(params.t_nodes)
     return MpcPolicy(t_nodes=params.t_nodes, X=sol.X, U=U, modes=modes,
-                     cost=sol.cost, W=sol.W)
+                     cost=sol.cost, W=sol.W, alpha=sol.alpha,
+                     defect=sol.defect)

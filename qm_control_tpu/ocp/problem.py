@@ -186,6 +186,10 @@ def make_ocp(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig) -> Ocp:
         return (A, B, dt * L, dt * lx, dt * lw, dt * lxx, dt * lww,
                 dt * lwx)
 
+    if cfg.mpc.structured_linearize:
+        from .linearize import make_structured_linearize
+        stage_linearize = make_structured_linearize(model, info, cfg)
+
     return Ocp(dynamics, stage_cost, final_cost, input_of,
                stage_quadratize, final_quadratize, cost_and_dynamics,
                stage_linearize)

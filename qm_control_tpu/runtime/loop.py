@@ -90,6 +90,8 @@ class CycleMetrics(NamedTuple):
     forces: jnp.ndarray        # (12,) WBC contact forces, last tick
     torques: jnp.ndarray       # (18,) WBC torques, last tick
     x_des: jnp.ndarray         # (30,) optimized state at cycle end (MPC)
+    mpc_alpha: jnp.ndarray     # accepted SQP line-search step
+    mpc_defect: jnp.ndarray    # max |shooting defect| of the solution
 
 
 def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
@@ -188,7 +190,9 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
             feet_pos=K.contact_positions(model, plant.q),
             forces=forces[-1],
             torques=taus[-1],
-            x_des=x_des_ticks[-1])
+            x_des=x_des_ticks[-1],
+            mpc_alpha=policy.alpha,
+            mpc_defect=policy.defect)
         new_carry = CycleCarry(plant=plant, W_warm=policy.W,
                                X_warm=policy.X,
                                input_last=input_last, last_yaw=new_yaw,

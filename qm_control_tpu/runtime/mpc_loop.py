@@ -133,7 +133,9 @@ def make_mpc_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
             feet_pos=K.contact_positions(model, plant.q),
             forces=forces[-1],
             torques=taus[-1],
-            x_des=x_des_ticks[-1])
+            x_des=x_des_ticks[-1],
+            mpc_alpha=policy.alpha,
+            mpc_defect=policy.defect)
         new_base = CycleCarry(plant=plant, W_warm=policy.W, X_warm=policy.X,
                               input_last=input_last, last_yaw=new_yaw,
                               t=t, safe=safe)
