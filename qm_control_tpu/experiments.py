@@ -246,9 +246,19 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
 
 def ee_tracking(cfg: Optional[QmConfig] = None, duration: float = 4.0,
                 amplitude: float = 0.1, period: float = 4.0,
-                warmup: int = 25) -> dict:
+                warmup: int = 25, preview: bool = True) -> dict:
     """Config #3: track a moving EE target (vertical figure sweep) with
-    whole-body planning; the base follows with the mount offset."""
+    whole-body planning; the base follows with the mount offset.
+
+    preview=True publishes the FUTURE reference trajectory as 8 knots
+    covering the MPC horizon (the reference's TargetTrajectories carry
+    arbitrarily many knots and the stage cost slerps along them —
+    EndEffectorConstraint.cpp:82-113 — so a preview-rich target is the
+    intended use). Round-3 measured the preview-free variant (re-issuing
+    the instantaneous pose as a near-static target) at 27.5 mm max error
+    at 0.16 m/s peak target speed: the MPC was chasing a target it was
+    never told the motion of. preview=False keeps that variant for the
+    ablation."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
     loop = ControlLoop(model, info, cfg, LoopConfig())
@@ -259,14 +269,27 @@ def ee_tracking(cfg: Optional[QmConfig] = None, duration: float = 4.0,
     carry = loop.warmup(carry, target, ms, num_solves=warmup)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
     errs, ori_errs, plan_errs, exec_errs = [], [], [], []
-    while float(carry.t) < duration:
-        t = float(carry.t)
+
+    def ref_state(t):
         s_t = s.copy()
         # moving EE target: sinusoidal z + y sweep
         s_t[31] = s[31] + amplitude * np.sin(2 * np.pi * t / period)
-        s_t[32] = s[32] + 0.5 * amplitude * (1 - np.cos(2 * np.pi * t / period))
-        target = target_from_knots([t, t + 0.5, duration + 5],
-                                   [s_t, s_t, s_t])
+        s_t[32] = s[32] + 0.5 * amplitude * (1 - np.cos(2 * np.pi * t
+                                                        / period))
+        return s_t
+
+    horizon = cfg.mpc.time_horizon
+    while float(carry.t) < duration:
+        t = float(carry.t)
+        if preview:
+            # 8 knots: now .. now + horizon + one chunk of slack
+            knot_ts = [t + a * (horizon + 0.3) / 7 for a in range(8)]
+            target = target_from_knots(knot_ts,
+                                       [ref_state(tt) for tt in knot_ts])
+        else:
+            s_t = ref_state(t)
+            target = target_from_knots([t, t + 0.5, duration + 5],
+                                       [s_t, s_t, s_t])
         carry, m = loop.run(carry, target, ms, num_cycles=chunk)
         if t > 1.0:
             errs.append(float(np.asarray(m.ee_pos_err)[-1]))
@@ -290,7 +313,8 @@ def disturbance_rejection(cfg: Optional[QmConfig] = None,
                           push_velocity: float = 0.0,
                           settle: float = 1.0, hold: float = 1.5,
                           release: float = 1.0, warmup: int = 25,
-                          settle_band_mm: float = 5.0) -> dict:
+                          settle_band_mm: float = 5.0,
+                          mpc_wrench_feedthrough: bool = True) -> dict:
     """Config #4: EE force disturbance. A sustained world-frame force of
     `ee_force` N (lateral, -y) is applied at the arm EE for `hold`
     seconds, then released; the WBC receives the wrench as a measured
@@ -298,20 +322,19 @@ def disturbance_rejection(cfg: Optional[QmConfig] = None,
     structure). Optionally also an instantaneous base-velocity impulse
     (`push_velocity` m/s lateral).
 
-    Measured capability envelope (round 3, standing, arm at the default
-    pose): 15 N -> 8.5 mm excursion / settles 0.21 s; 20 N -> 12.6 mm /
-    0.30 s; 25 N collapses the arm (280+ mm — the WBC braces locally but
-    the MPC, which like the reference's does NOT model the wrench, keeps
-    planning unloaded arm configurations). The default is the mastered
-    20 N. Round-4 path: feed the measured wrench into the MPC dynamics —
-    models.centroidal.flow_map already accepts ee_wrench; only the OCP
-    closure plumbing is missing."""
+    mpc_wrench_feedthrough=True (default) additionally feeds the
+    measured wrench into the MPC dynamics (ocp.problem dynamics
+    ee_wrench path) so the PLANNER braces too — a capability beyond the
+    reference, whose MPC never sees the wrench. With it OFF the planner
+    keeps planning unloaded arm configurations and a sustained 25 N
+    collapses the arm (round-3 envelope, WBC-only: 15 N -> 8.5 mm
+    excursion / settles 0.21 s; 20 N -> 12.6 mm / 0.30 s; 25 N -> 280+
+    mm, unrecovered). tests/test_experiments.py asserts ON beats OFF at
+    25 N; the round-4 envelope re-measure lives in ACCURACY_r04.json."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
-    # mpc_wrench_feedthrough: the measured wrench reaches the MPC
-    # dynamics too (beyond the reference; see the envelope note above)
-    loop = ControlLoop(model, info, cfg,
-                       LoopConfig(mpc_wrench_feedthrough=True))
+    loop = ControlLoop(model, info, cfg, LoopConfig(
+        mpc_wrench_feedthrough=mpc_wrench_feedthrough))
     target = target_from_knots([0.0, 20.0], [s, s])
     ms = GaitSchedule(GAIT_LIBRARY["stance"]).mode_schedule(0.0, 20.0)
     carry = loop.init_carry(q0)

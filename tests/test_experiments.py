@@ -37,6 +37,22 @@ def test_disturbance_rejection_smoke():
 
 
 @pytest.mark.slow
+def test_wrench_feedthrough_beats_wbc_only_at_25N():
+    """The wrench-aware MPC (LoopConfig.mpc_wrench_feedthrough) must
+    brace a sustained 25 N lateral EE force that collapses the arm when
+    only the WBC sees the wrench (round-3 envelope: 280+ mm, not
+    recovered). Asserts ON is finite and strictly out-braces OFF on the
+    identical scenario."""
+    kw = dict(cfg=_ci_cfg(), ee_force=25.0, settle=0.3, hold=0.5,
+              release=0.4, warmup=10, settle_band_mm=25.0)
+    on = E.disturbance_rejection(mpc_wrench_feedthrough=True, **kw)
+    off = E.disturbance_rejection(mpc_wrench_feedthrough=False, **kw)
+    assert np.isfinite(on["ee_excursion_max_mm"])
+    assert np.isfinite(on["ee_pos_err_end_mm"])
+    assert on["ee_excursion_max_mm"] < off["ee_excursion_max_mm"]
+
+
+@pytest.mark.slow
 def test_batched_rollouts_smoke():
     r = E.batched_rollouts(cfg=_ci_cfg(), batch=4, num_steps=2)
     assert r["finite_fraction"] == 1.0
