@@ -578,6 +578,34 @@ def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec):
     )(A0, b0, D, f, A1, b1, A2, b2)
 
 
+def fused_hoqp_batched(t0: Task, t1: Task, t2: Task,
+                       qp_iters: int = 20) -> jnp.ndarray:
+    """Batched cascade: tasks carry a leading batch dim B; returns
+    (B, 36) decision vectors.
+
+    Round-4 findings on the batch path (measured on v5e, B=256):
+      * jax.vmap over the single-scenario pallas_call gives ZERO batch
+        speedup (550 solves/s vs the 575 implied by the 1.74 ms B=1
+        latency) — a vmapped grid-less pallas_call becomes a grid over
+        the batch, and grid steps run SEQUENTIALLY on the single v5e
+        TensorCore;
+      * a blocked pallas variant (K scenarios per grid step, cascade
+        math vmapped inside the kernel over (K,128,128) buffers) fails
+        to lower through Mosaic (remote-compile subprocess crash), even
+        though minimal batched dot_general / fori / iota kernels all
+        lower fine — the cascade's mixed-rank intermediates under vmap
+        are the suspect; revisit when Mosaic's vmap coverage grows;
+      * the SAME no-pivot cascade math as plain vmapped XLA hits 1866
+        solves/s — 2.8x the pivoted hoqp_solve cascade (662), because
+        the pivoted GJ's argmax+gather per elimination step serializes
+        horribly under batching while the one-hot extraction here
+        vectorizes.
+    So the deployed batch path is the vmapped XLA math. The B=1
+    real-time path stays the Mosaic kernel (fused_hoqp)."""
+    return jax.vmap(lambda a, b, c: fused_hoqp_reference(
+        a, b, c, qp_iters))(t0, t1, t2)
+
+
 def fused_hoqp(t0: Task, t1: Task, t2: Task,
                qp_iters: int = 20) -> jnp.ndarray:
     """Solve the 3-level cascade in one Pallas kernel; returns the (36,)

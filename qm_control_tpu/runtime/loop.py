@@ -54,6 +54,18 @@ class LoopConfig(NamedTuple):
     # wrench into the MPC dynamics (disturbance-aware planning — beyond
     # the reference, whose MPC never sees the wrench). Off by default:
     # it costs one extra EE FK per flow evaluation on the hot path.
+    mrt_policy_lag: bool = True   # ticks consume the PREVIOUS cycle's
+    # policy (one MPC period old) — the reference's async MRT semantics
+    # (QMController.cpp:309-334: advanceMpc runs in a worker thread; the
+    # real-time loop always evaluates a policy one solve-latency old).
+    # ROUND-4 ROOT CAUSE (tools/diag_ff.py): with ZERO lag the policy's
+    # anchor equals the measured state, so the WBC base PD terms
+    # (kp 400 / kd 100, wbcWigeht.cfg) vanish at every cycle start while
+    # the Ab^-1(m hdot - Adot v - Aj qdd) feedforward self-cancels
+    # (planned momentum is carried by the legs in the full-model A);
+    # net base-x pull ~0 and locomotion stalls after ~one command lead.
+    # With the reference's one-period lag the PD reads the plan 10-20 ms
+    # into its acceleration profile and pulls the plant along it.
 
     @property
     def ticks_per_cycle(self) -> int:
@@ -72,6 +84,8 @@ class CycleCarry(NamedTuple):
     last_yaw: jnp.ndarray      # scalar, yaw unwrap memory
     t: jnp.ndarray             # controller time
     safe: jnp.ndarray          # bool, sticky safety flag
+    policy: "MpcPolicy" = None  # the MRT policy buffer: the previous
+    # cycle's solution, consumed by the ticks when mrt_policy_lag is on
 
 
 class CycleMetrics(NamedTuple):
@@ -121,6 +135,11 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                           jnp.asarray(1.0 / loop_cfg.mpc_freq,
                                       dtype=jnp.float32),
                           jnp.asarray(False), ee_wrench=mpc_wrench)
+        # MRT buffer semantics: the ticks consume the PREVIOUS solve
+        # (one MPC period old) — see LoopConfig.mrt_policy_lag.
+        exec_policy = (carry.policy
+                       if loop_cfg.mrt_policy_lag and carry.policy
+                       is not None else policy)
         new_yaw = x_obs[9]
 
         # --- control ticks (the real-time loop's work, §3.3) ---
@@ -128,7 +147,7 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
             plant, input_last, t, safe = tc
             rbd_t = rbd_state_from_plant(model, plant.q, plant.v)
             x_t = observation_from_rbd(model, info, rbd_t, new_yaw)
-            x_des, u_des, mode = evaluate_policy(policy, t)
+            x_des, u_des, mode = evaluate_policy(exec_policy, t)
             q_meas, v_meas = rbd_to_qv(rbd_t)
             flags = contact_flags_from_mode(mode).astype(jnp.float32)
             wbc = hierarchical_wbc_update(
@@ -196,7 +215,7 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
         new_carry = CycleCarry(plant=plant, W_warm=policy.W,
                                X_warm=policy.X,
                                input_last=input_last, last_yaw=new_yaw,
-                               t=t, safe=safe)
+                               t=t, safe=safe, policy=policy)
         return new_carry, metrics
 
     def warmup(carry: CycleCarry, target: TargetTrajectory, ms: ModeSchedule):
@@ -210,7 +229,8 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                           target, ms, carry.W_warm, carry.X_warm,
                           jnp.asarray(0.0, dtype=jnp.float32),
                           jnp.asarray(False))
-        return carry._replace(W_warm=policy.W, X_warm=policy.X)
+        return carry._replace(W_warm=policy.W, X_warm=policy.X,
+                              policy=policy)
 
     return cycle, warmup
 
@@ -245,14 +265,28 @@ class ControlLoop:
                                     jnp.asarray(q0, dtype=jnp.float32),
                                     jnp.zeros(24, dtype=jnp.float32))
         x0 = observation_from_rbd(self.model, self.info, rbd0)
+        X0 = jnp.tile(x0[None].astype(jnp.float32), (N + 1, 1))
+        W0 = jnp.tile(w0[None], (N, 1))
+        # seed MRT buffer: a "hold current state" policy (STANCE), so
+        # the first lagged cycle has a structurally-complete policy even
+        # without a warmup() handshake
+        from ..gaits.gait import STANCE
+        hold_policy = MpcPolicy(
+            t_nodes=self.cfg.mpc.dt * jnp.arange(N + 1, dtype=jnp.float32),
+            X=X0, U=jnp.tile(w0[None], (N + 1, 1)),
+            modes=jnp.full(N + 1, STANCE, dtype=jnp.int32),
+            cost=jnp.asarray(0.0, dtype=jnp.float32), W=W0,
+            alpha=jnp.asarray(1.0, dtype=jnp.float32),
+            defect=jnp.asarray(0.0, dtype=jnp.float32))
         return CycleCarry(
             plant=init_plant_state(q0, v0, model=self.model),
-            W_warm=jnp.tile(w0[None], (N, 1)),
-            X_warm=jnp.tile(x0[None].astype(jnp.float32), (N + 1, 1)),
+            W_warm=W0,
+            X_warm=X0,
             input_last=jnp.zeros(30, dtype=jnp.float32),
             last_yaw=jnp.asarray(float(np.asarray(q0)[3]), dtype=jnp.float32),
             t=jnp.asarray(0.0, dtype=jnp.float32),
-            safe=jnp.asarray(True))
+            safe=jnp.asarray(True),
+            policy=hold_policy)
 
     def warmup(self, carry: CycleCarry, target: TargetTrajectory,
                ms: ModeSchedule, num_solves: int = 20) -> CycleCarry:

@@ -107,7 +107,13 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
     t2 = contact_force_task(m, input_des) + base_linear_task(
         m, d, gains.kp_base_linear, gains.kd_base_linear)
 
-    if fused_cascade:
+    if fused_cascade == "xla":
+        # the fused kernel's no-pivot cascade MATH as plain XLA: the
+        # vmappable batch path (see kernels.hoqp_fused.fused_hoqp_batched
+        # rationale — a vmapped pallas_call serializes over the grid)
+        from ..kernels.hoqp_fused import fused_hoqp_reference
+        x_opt = fused_hoqp_reference(t0, t1, t2)
+    elif fused_cascade:
         from ..kernels.hoqp_fused import fused_hoqp
         x_opt = fused_hoqp(t0, t1, t2)
     else:
