@@ -199,5 +199,15 @@ def cho_solve_unrolled(L, B):
 
 
 def spd_solve_unrolled(A, B):
-    """A^{-1} B for SPD A (..., n, n), B (..., n, m)."""
+    """A^{-1} B for SPD A (..., n, n), B (..., n, m).
+
+    Round-4 alternatives, measured at B=256 n=30 m=31 on v5e and
+    REJECTED: (a) jax.scipy cho_factor/cho_solve looked 1.4x faster in
+    a chained micro-benchmark but 2.5x SLOWER inside the real Riccati
+    sweep (166 vs 66 ms/solve-step) — the micro held A constant across
+    the chain, so XLA hoisted the factorization out of the scan; with a
+    per-step Quu the blocked cholesky lowering loses badly. (b) a
+    trace-time static-unrolled column Cholesky: 0.258 vs 0.211 ms —
+    the fori body's buffers already live in VMEM, so the expected
+    HBM-traffic win never materializes."""
     return cho_solve_unrolled(cholesky_unrolled(A), B)

@@ -198,11 +198,15 @@ def make_stage_quadratizer_parts(model: RobotModel, info: C.CentroidalInfo,
         Luu = R
         Lux = jnp.zeros((30, 30), dtype=dtype)
 
-        # EE soft constraint: Gauss-Newton on the precomputed residual
+        # EE soft constraint: Gauss-Newton on the precomputed residual.
+        # Contraction-unrolled products (see ocp/linearize.py assembly
+        # note): a vmapped (30,6)@(6,30) dot_general takes XLA's
+        # convolution lowering with layout copies on TPU.
+        from ..models.smallmat import mtm_unrolled, mtv_unrolled
         mu = jnp.asarray([mu_pos] * 3 + [mu_ori] * 3, dtype=dtype)
         L = L + 0.5 * jnp.sum(mu * e * e)
-        Lx = Lx + Je.T @ (mu * e)
-        Lxx = Lxx + Je.T @ (mu[:, None] * Je)
+        Lx = Lx + mtv_unrolled(Je, mu * e)
+        Lxx = Lxx + mtm_unrolled(Je, mu[:, None] * Je)
 
         # friction cone barrier: exact derivatives in u (tiny analytic graph)
         fc = lambda uu: friction_cone_cost(uu, flags, fcfg)

@@ -41,6 +41,7 @@ from ..config import QmConfig
 from ..models import centroidal as C
 from ..models import chainfk
 from ..models.rotations import euler_zyx_to_R
+from ..models.smallmat import mm_unrolled, mtm_unrolled, mtv_unrolled
 from ..models.spec import CONTACT_LEG_JOINTS, RobotModel
 from .constraints import _DAMP, _damped_solve, input_parameterization
 from .costs import ee_residual, make_stage_quadratizer_parts
@@ -272,20 +273,28 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
         f1, Jx1, Ju1 = flow_and_jacs(x_mid, u, ee_wrench, ee_pJ_mid)
 
         I = jnp.eye(30, dtype=x.dtype)
-        # F = x + dt f(x + dt/2 f(x,u), u): exact RK2 chain rule
-        dFdx_u = I + dt * (Jx1 @ (I + 0.5 * dt * Jx0))
-        dFdu_x = dt * (0.5 * dt * (Jx1 @ Ju0) + Ju1)
-        A = dFdx_u + dFdu_x @ Ju_param
-        B = dFdu_x @ N
+        # F = x + dt f(x + dt/2 f(x,u), u): exact RK2 chain rule.
+        # All (30,30)x(30,30) products here are contraction-unrolled
+        # (models/smallmat): under the (B, N)-vmapped solve, XLA lowers a
+        # batched 30x30 dot_general through its convolution path with
+        # (256,67,30,30) layout copies around every product — measured
+        # round 4 as ~15 of the 41 ms linearize stage at B=256 (the
+        # copies alone 0.5-1.3 ms each); the unrolled forms fuse into
+        # single lane-parallel VPU kernels with no layout churn.
+        dFdx_u = I + dt * (Jx1 + 0.5 * dt * mm_unrolled(Jx1, Jx0))
+        dFdu_x = dt * (0.5 * dt * mm_unrolled(Jx1, Ju0) + Ju1)
+        A = dFdx_u + mm_unrolled(dFdu_x, Ju_param)
+        B = mm_unrolled(dFdu_x, N)
 
         L, Lx, Lu, Lxx, Luu, Lux = stage_q_xu(t, x, u, target, flags, e, Je)
-        LuuJu = Luu @ Ju_param
-        lx = Lx + Ju_param.T @ Lu
-        lw = N.T @ Lu
-        lxx = (Lxx + Ju_param.T @ Lux + Lux.T @ Ju_param
-               + Ju_param.T @ LuuJu)
-        lww = N.T @ Luu @ N
-        lwx = N.T @ (Lux + LuuJu)
+        LuuJu = mm_unrolled(Luu, Ju_param)
+        lx = Lx + mtv_unrolled(Ju_param, Lu)
+        lw = mtv_unrolled(N, Lu)
+        JuLux = mtm_unrolled(Ju_param, Lux)
+        lxx = (Lxx + JuLux + jnp.swapaxes(JuLux, -1, -2)
+               + mtm_unrolled(Ju_param, LuuJu))
+        lww = mm_unrolled(mtm_unrolled(N, Luu), N)
+        lwx = mtm_unrolled(N, Lux + LuuJu)
         return (A, B, dt * L, dt * lx, dt * lw, dt * lxx, dt * lww,
                 dt * lwx)
 
