@@ -54,18 +54,29 @@ class LoopConfig(NamedTuple):
     # wrench into the MPC dynamics (disturbance-aware planning — beyond
     # the reference, whose MPC never sees the wrench). Off by default:
     # it costs one extra EE FK per flow evaluation on the hot path.
-    mrt_policy_lag: bool = True   # ticks consume the PREVIOUS cycle's
-    # policy (one MPC period old) — the reference's async MRT semantics
+    mrt_policy_lag: int = 1   # ticks consume a policy this many MPC
+    # periods old — the reference's async MRT semantics
     # (QMController.cpp:309-334: advanceMpc runs in a worker thread; the
     # real-time loop always evaluates a policy one solve-latency old).
-    # ROUND-4 ROOT CAUSE (tools/diag_ff.py): with ZERO lag the policy's
-    # anchor equals the measured state, so the WBC base PD terms
-    # (kp 400 / kd 100, wbcWigeht.cfg) vanish at every cycle start while
-    # the Ab^-1(m hdot - Adot v - Aj qdd) feedforward self-cancels
-    # (planned momentum is carried by the legs in the full-model A);
-    # net base-x pull ~0 and locomotion stalls after ~one command lead.
-    # With the reference's one-period lag the PD reads the plan 10-20 ms
-    # into its acceleration profile and pulls the plant along it.
+    # Accepts bool for back-compat (True -> 1).
+    #
+    # ROUND-4 MECHANISM (tools/diag_stall_*.py, diag_lbfgs referee):
+    # the OCP's OPTIMAL plan from any quasi-static state "eases in" —
+    # its first ~100 ms hold near-zero base velocity before ramping to
+    # the commanded speed (verified as the true optimum by an
+    # independent f64 L-BFGS solve of the same single-shooting problem:
+    # cost 4.686 vs the SQP fixed point's 4.656, same eased shape; NOT
+    # a solver artifact — every cost-term ablation, gait phase, and
+    # iteration-count variant shows it). A loop that executes only the
+    # first 10-20 ms of each re-anchored plan therefore samples the
+    # eased region forever and locomotion stalls at ~one command lead,
+    # regardless of weights or hold pose. The reference escapes by
+    # construction: its policy is evaluated at wall-clock time, which
+    # sits one solve LATENCY plus pickup staleness (~20-50 ms on its
+    # CPU) into the plan's acceleration profile. lag = k executes the
+    # window [k*T, (k+1)*T] of each plan (T = MPC period) — the
+    # deep-execution semantics, consistent across cycles because
+    # warm-started consecutive plans agree along the shared trajectory.
 
     @property
     def ticks_per_cycle(self) -> int:
@@ -84,8 +95,9 @@ class CycleCarry(NamedTuple):
     last_yaw: jnp.ndarray      # scalar, yaw unwrap memory
     t: jnp.ndarray             # controller time
     safe: jnp.ndarray          # bool, sticky safety flag
-    policy: "MpcPolicy" = None  # the MRT policy buffer: the previous
-    # cycle's solution, consumed by the ticks when mrt_policy_lag is on
+    policy: "MpcPolicy" = None  # the MRT policy buffer: a history stack
+    # of the last `mrt_policy_lag` solutions (leading axis = lag depth,
+    # index 0 = oldest); the ticks consume the oldest (see LoopConfig)
 
 
 class CycleMetrics(NamedTuple):
@@ -135,11 +147,19 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                           jnp.asarray(1.0 / loop_cfg.mpc_freq,
                                       dtype=jnp.float32),
                           jnp.asarray(False), ee_wrench=mpc_wrench)
-        # MRT buffer semantics: the ticks consume the PREVIOUS solve
-        # (one MPC period old) — see LoopConfig.mrt_policy_lag.
-        exec_policy = (carry.policy
-                       if loop_cfg.mrt_policy_lag and carry.policy
-                       is not None else policy)
+        # MRT buffer semantics: consume a `lag`-period-old policy (its
+        # absolute t_nodes make the ticks evaluate lag*T deep into the
+        # plan, past the ease-in — see LoopConfig.mrt_policy_lag).
+        lag = int(loop_cfg.mrt_policy_lag)
+        if lag >= 1 and carry.policy is not None:
+            exec_policy = jax.tree_util.tree_map(lambda a: a[0],
+                                                 carry.policy)
+            new_stack = jax.tree_util.tree_map(
+                lambda s, n: jnp.concatenate([s[1:], n[None]], axis=0),
+                carry.policy, policy)
+        else:
+            exec_policy = policy
+            new_stack = carry.policy
         new_yaw = x_obs[9]
 
         # --- control ticks (the real-time loop's work, §3.3) ---
@@ -215,7 +235,7 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
         new_carry = CycleCarry(plant=plant, W_warm=policy.W,
                                X_warm=policy.X,
                                input_last=input_last, last_yaw=new_yaw,
-                               t=t, safe=safe, policy=policy)
+                               t=t, safe=safe, policy=new_stack)
         return new_carry, metrics
 
     def warmup(carry: CycleCarry, target: TargetTrajectory, ms: ModeSchedule):
@@ -229,8 +249,12 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
                           target, ms, carry.W_warm, carry.X_warm,
                           jnp.asarray(0.0, dtype=jnp.float32),
                           jnp.asarray(False))
+        lag = max(1, int(loop_cfg.mrt_policy_lag))
+        stack = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a[None], (lag,) + (1,) * jnp.ndim(a)),
+            policy)
         return carry._replace(W_warm=policy.W, X_warm=policy.X,
-                              policy=policy)
+                              policy=stack)
 
     return cycle, warmup
 
@@ -278,6 +302,10 @@ class ControlLoop:
             cost=jnp.asarray(0.0, dtype=jnp.float32), W=W0,
             alpha=jnp.asarray(1.0, dtype=jnp.float32),
             defect=jnp.asarray(0.0, dtype=jnp.float32))
+        lag = max(1, int(self.loop_cfg.mrt_policy_lag))
+        hold_policy = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a[None], (lag,) + (1,) * jnp.ndim(a)),
+            hold_policy)
         return CycleCarry(
             plant=init_plant_state(q0, v0, model=self.model),
             W_warm=W0,
