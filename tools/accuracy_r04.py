@@ -23,8 +23,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "ACCURACY_r04.json")
+PATH = os.environ.get("ACCURACY_OUT") or os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "ACCURACY_r04.json")
 
 
 def emit(entry):
