@@ -40,6 +40,8 @@ def main():
     run = sys.argv[1]
     if run == "headline":
         traverse(-0.2, 600.0, "headline profile")
+    elif run == "headline3":
+        traverse(-0.3, 600.0, "headline profile, faster command")
     elif run == "ori2000":
         traverse(-0.2, 2000.0, "ori-weighted variant")
     elif run == "delay9":
