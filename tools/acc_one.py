@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.accuracy_r04 import emit, tuned_cfg  # noqa: E402
 
 
-def traverse(speed, mu_o, note, lag=3, delay=0.0, max_time=16.0, tuned=True):
+def traverse(speed, mu_o, note, lag=3, delay=0.0, max_time=16.0, tuned=True,
+             ramp=0.5):
     from qm_control_tpu import experiments as E
     import qm_control_tpu.experiments as em
     orig = em._loop_cfg
@@ -25,12 +26,13 @@ def traverse(speed, mu_o, note, lag=3, delay=0.0, max_time=16.0, tuned=True):
     try:
         cfg = tuned_cfg(mu_o=mu_o) if tuned else None
         r = E.traverse_ee_hold(cfg=cfg, speed=speed, max_time=max_time,
-                               delay_s=delay)
+                               delay_s=delay, cmd_ramp_s=ramp)
     finally:
         em._loop_cfg = orig
     prof = (f"mu12000/{mu_o:g} mrt_lag{lag}" if tuned
             else "reference task.info weights")
-    r["profile"] = f"{prof} cmd {speed}" + (" delay9" if delay else "")
+    r["profile"] = (f"{prof} cmd {speed} ramp {ramp:g}"
+                    + (" delay9" if delay else ""))
     r["note"] = note
     emit(r)
 
@@ -42,6 +44,17 @@ def main():
         traverse(-0.2, 600.0, "headline profile")
     elif run == "headline3":
         traverse(-0.3, 600.0, "headline profile, faster command")
+    elif run == "combo_a":
+        traverse(-0.3, 2000.0, "slow-stick ramp, ori-weighted",
+                 ramp=3.0, max_time=20.0)
+    elif run == "combo_b":
+        traverse(-0.3, 600.0, "slow-stick ramp", ramp=3.0, max_time=20.0)
+    elif run == "combo_c":
+        traverse(-0.25, 2000.0, "slow-stick ramp, ori-weighted",
+                 ramp=2.0, max_time=20.0)
+    elif run == "raw01lag":
+        traverse(-0.1, 1000.0, "raw weights + deep MRT (VERDICT #6)",
+                 max_time=16.0, tuned=False)
     elif run == "ori2000":
         traverse(-0.2, 2000.0, "ori-weighted variant")
     elif run == "delay9":
