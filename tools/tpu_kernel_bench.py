@@ -163,6 +163,12 @@ def main():
         result[f"batched_{name}_solves_per_s"] = round(B / dt, 1)
 
     print(json.dumps(result))
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'KERNEL_BENCH.json')
+    with open(path, 'w') as f:
+        json.dump(result, f, indent=1)
+
 
 
 if __name__ == "__main__":
