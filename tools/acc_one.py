@@ -79,6 +79,13 @@ def main():
                                           3)
         r["preview"] = True
         emit(r)
+    elif run == "trackingtuned":
+        r = E.ee_tracking(cfg=tuned_cfg(), period=4.0, preview=True)
+        r["period_s"] = 4.0
+        r["peak_target_speed_ms"] = 0.176
+        r["preview"] = True
+        r["note"] = "tuned mu12000/600 (plan-space probe reads 1.52 mm)"
+        emit(r)
     elif run == "trackoff":
         r = E.ee_tracking(period=4.0, preview=False)
         r["period_s"] = 4.0
