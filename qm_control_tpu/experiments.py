@@ -58,7 +58,12 @@ def _loop_cfg(control_freq: float = 1000.0, delay_s: float = 0.0):
     if delay_s > 0:
         plant = plant._replace(
             delay_steps=delay_steps_for(delay_s, push_freq=control_freq))
-    return LoopConfig(control_freq=control_freq, plant=plant)
+    # compensate the KNOWN actuation delay by evaluating the executed
+    # policy at its application time (see LoopConfig.delay_compensation_s;
+    # the reference's wall-clock MRT evaluation absorbs its pipeline
+    # latencies the same way)
+    return LoopConfig(control_freq=control_freq, plant=plant,
+                      delay_compensation_s=delay_s)
 
 
 def _plan_exec_split(model, m):

@@ -77,6 +77,16 @@ class LoopConfig(NamedTuple):
     # window [k*T, (k+1)*T] of each plan (T = MPC period) — the
     # deep-execution semantics, consistent across cycles because
     # warm-started consecutive plans agree along the shared trajectory.
+    delay_compensation_s: float = 0.0   # evaluate the executed policy at
+    # t + this lead. With an actuation delay line (plant.delay_steps) the
+    # command computed from the policy at t is APPLIED at t+delay; the
+    # reference's MRT absorbs this because evaluatePolicy runs at
+    # wall-clock time (QMController.cpp:141) which already includes the
+    # pipeline's real latencies. Round-4 measured the uncompensated
+    # interaction: policy-lag depth compounds the 9 ms delay
+    # (trot delay9 regressed 3.17 -> 4.78 mm). Set this to the known
+    # actuation delay so pos/vel/tau_ff setpoints correspond to their
+    # application time.
 
     @property
     def ticks_per_cycle(self) -> int:
@@ -135,8 +145,22 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
     fused_wbc = (jax.default_backend() in ("tpu", "axon")
                  if loop_cfg.fused_wbc is None else loop_cfg.fused_wbc)
 
+    def _check_policy_depth(carry):
+        """A carry built under a different mrt_policy_lag would silently
+        roll/execute the wrong depth — fail loudly instead (shapes are
+        static under jit, so this is a trace-time check)."""
+        if carry.policy is not None:
+            depth = jax.tree_util.tree_leaves(carry.policy)[0].shape[0]
+            expected = max(1, int(loop_cfg.mrt_policy_lag))
+            if depth != expected:
+                raise ValueError(
+                    f"carry.policy stack depth {depth} != "
+                    f"max(1, mrt_policy_lag)={expected}; rebuild the carry "
+                    f"for this LoopConfig (init_carry/warmup)")
+
     def cycle(carry: CycleCarry, target: TargetTrajectory, ms: ModeSchedule,
               gains: WbcGains):
+        _check_policy_depth(carry)
         # --- estimator + MPC solve (the async thread's work, §3.4) ---
         rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
         x_obs = observation_from_rbd(model, info, rbd, carry.last_yaw)
@@ -167,7 +191,8 @@ def make_cycle(model: RobotModel, info: C.CentroidalInfo, cfg: QmConfig,
             plant, input_last, t, safe = tc
             rbd_t = rbd_state_from_plant(model, plant.q, plant.v)
             x_t = observation_from_rbd(model, info, rbd_t, new_yaw)
-            x_des, u_des, mode = evaluate_policy(exec_policy, t)
+            x_des, u_des, mode = evaluate_policy(
+                exec_policy, t + loop_cfg.delay_compensation_s)
             q_meas, v_meas = rbd_to_qv(rbd_t)
             flags = contact_flags_from_mode(mode).astype(jnp.float32)
             wbc = hierarchical_wbc_update(

@@ -19,19 +19,20 @@ def traverse(speed, mu_o, note, lag=3, delay=0.0, max_time=16.0, tuned=True,
     from qm_control_tpu import experiments as E
     import qm_control_tpu.experiments as em
     orig = em._loop_cfg
-    if lag:
-        def lagged(control_freq=1000.0, delay_s=0.0):
-            return orig(control_freq, delay_s)._replace(mrt_policy_lag=lag)
-        em._loop_cfg = lagged
+
+    # patch the requested lag unconditionally (lag=0 must actually run
+    # lag 0, not the loop default of 1)
+    def lagged(control_freq=1000.0, delay_s=0.0):
+        return orig(control_freq, delay_s)._replace(mrt_policy_lag=lag)
+    em._loop_cfg = lagged
     try:
         cfg = tuned_cfg(mu_o=mu_o) if tuned else None
         r = E.traverse_ee_hold(cfg=cfg, speed=speed, max_time=max_time,
                                delay_s=delay, cmd_ramp_s=ramp)
     finally:
         em._loop_cfg = orig
-    prof = (f"mu12000/{mu_o:g} mrt_lag{lag}" if tuned
-            else "reference task.info weights")
-    r["profile"] = (f"{prof} cmd {speed} ramp {ramp:g}"
+    prof = (f"mu12000/{mu_o:g}" if tuned else "reference task.info weights")
+    r["profile"] = (f"{prof} mrt_lag{lag} cmd {speed} ramp {ramp:g}"
                     + (" delay9" if delay else ""))
     r["note"] = note
     emit(r)

@@ -1,0 +1,152 @@
+"""Round-5 closed-loop accuracy record -> ACCURACY_r05.json.
+
+Same protocol as rounds 3/4 (CPU, reference 1 kHz control rate); each
+run appends to the JSON as it lands so partial artifacts survive
+interruption.
+
+Usage: python tools/accuracy_r05.py <section-or-spec> ...
+  sections: standing disturbance tracking mpcvar
+  traverse spec: "traverse:speed=-0.3,mu_o=600,lag=3,ramp=3,max=20"
+     keys: speed (m/s), mu_o (tuned mu_ori; mu_pos fixed 12000),
+           lag (mrt_policy_lag), ramp (cmd ramp seconds),
+           max (max_time s), delay (actuation delay s, compensated),
+           tuned (0 -> raw task.info weights), note
+  tracking spec: "tracking:period=4,lead=0.15"
+"""
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qm_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+PATH = os.environ.get("ACCURACY_OUT") or os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "ACCURACY_r05.json")
+
+
+def emit(entry):
+    entry = {k: v for k, v in entry.items() if k not in ("log",)}
+    rows = []
+    if os.path.exists(PATH):
+        with open(PATH) as f:
+            rows = json.load(f).get("runs", [])
+    rows.append(entry)
+    with open(PATH, "w") as f:
+        json.dump({"round": 5, "runs": rows}, f, indent=1, default=str)
+    print(json.dumps(entry, default=str), flush=True)
+
+
+def tuned_cfg(mu_p=12000.0, mu_o=600.0):
+    from qm_control_tpu.experiments import _default_cfg
+    base = _default_cfg()
+    return base.with_(cost=dataclasses.replace(
+        base.cost, ee_mu_position=mu_p, ee_mu_orientation=mu_o,
+        final_ee_mu_position=mu_p, final_ee_mu_orientation=mu_o))
+
+
+def _parse_spec(spec):
+    kv = {}
+    if spec:
+        for part in spec.split(","):
+            k, _, v = part.partition("=")
+            kv[k] = v
+    return kv
+
+
+def run_traverse(spec):
+    from qm_control_tpu import experiments as E
+    import qm_control_tpu.experiments as em
+    kv = _parse_spec(spec)
+    speed = float(kv.get("speed", -0.2))
+    mu_o = float(kv.get("mu_o", 600.0))
+    lag = int(kv.get("lag", 3))
+    ramp = float(kv.get("ramp", 0.5))
+    max_time = float(kv.get("max", 16.0))
+    delay = float(kv.get("delay", 0.0))
+    tuned = kv.get("tuned", "1") not in ("0", "false")
+    gait = kv.get("gait", "trot")
+    orig = em._loop_cfg
+
+    def lagged(control_freq=1000.0, delay_s=0.0):
+        return orig(control_freq, delay_s)._replace(mrt_policy_lag=lag)
+    em._loop_cfg = lagged
+    try:
+        cfg = tuned_cfg(mu_o=mu_o) if tuned else None
+        r = E.traverse_ee_hold(cfg=cfg, gait=gait, speed=speed,
+                               max_time=max_time, delay_s=delay,
+                               cmd_ramp_s=ramp)
+    finally:
+        em._loop_cfg = orig
+    prof = (f"mu12000/{mu_o:g}" if tuned else "reference task.info weights")
+    r["profile"] = (f"{prof} mrt_lag{lag} cmd {speed} ramp {ramp:g}"
+                    + (f" delay{delay * 1e3:g}ms(comp)" if delay else ""))
+    if "note" in kv:
+        r["note"] = kv["note"]
+    emit(r)
+
+
+def run_tracking(spec):
+    from qm_control_tpu import experiments as E
+    kv = _parse_spec(spec)
+    period = float(kv.get("period", 4.0))
+    lead = float(kv.get("lead", 0.0))
+    tuned = kv.get("tuned", "0") not in ("0", "false")
+    preview = kv.get("preview", "1") not in ("0", "false")
+    kwargs = {}
+    if lead:
+        kwargs["target_lead_s"] = lead
+    r = E.ee_tracking(cfg=tuned_cfg() if tuned else None, period=period,
+                      preview=preview, **kwargs)
+    r["period_s"] = period
+    r["peak_target_speed_ms"] = round(2 * 3.14159 * 0.1 / period * 1.118, 3)
+    r["preview"] = preview
+    r["target_lead_s"] = lead
+    if tuned:
+        r["note"] = "tuned mu12000/600"
+    if "note" in kv:
+        r["note"] = kv["note"]
+    emit(r)
+
+
+def main():
+    from qm_control_tpu import experiments as E
+    args = sys.argv[1:] or ["standing"]
+    for arg in args:
+        if arg.startswith("traverse"):
+            run_traverse(arg.partition(":")[2])
+        elif arg.startswith("tracking"):
+            run_tracking(arg.partition(":")[2])
+        elif arg == "standing":
+            for delay in (0.0, 0.009):
+                r = E.standing_ee_hold(gait="trot", delay_s=delay)
+                r["delay_s"] = delay
+                r["delay_compensated"] = bool(delay)
+                r["weights"] = "reference task.info"
+                emit(r)
+        elif arg == "disturbance":
+            for force in (15.0, 20.0, 25.0, 30.0):
+                r = E.disturbance_rejection(ee_force=force,
+                                            mpc_wrench_feedthrough=True)
+                r["mpc_wrench_feedthrough"] = True
+                emit(r)
+            r = E.disturbance_rejection(ee_force=25.0,
+                                        mpc_wrench_feedthrough=False)
+            r["mpc_wrench_feedthrough"] = False
+            r["note"] = "OFF contrast at 25 N (WBC-only bracing)"
+            emit(r)
+        elif arg == "mpcvar":
+            emit(E.mpc_variant_standing())
+        else:
+            raise SystemExit(f"unknown arg {arg}")
+
+
+if __name__ == "__main__":
+    main()

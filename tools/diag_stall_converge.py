@@ -2,7 +2,7 @@
 warm-started 1-iteration artifact? Solve cold/warm with many iterations
 and compare near-term velocity profiles."""
 import os, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qm_tpu_jax_cache")
 import jax
@@ -17,7 +17,7 @@ from qm_control_tpu.ocp.reference import cmd_vel_to_target
 from qm_control_tpu.runtime.estimator import (observation_from_rbd,
                                               rbd_state_from_plant)
 from qm_control_tpu.solver.sqp import SqpSettings
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from diag_tick_probe import load_carry
 
 cfg = _default_cfg()
@@ -45,7 +45,6 @@ def solve(iters, cold):
 for iters, cold in [(1, False), (3, False), (10, False), (10, True), (30, True)]:
     p = solve(iters, cold)
     X = np.asarray(p.X)
-    vx = np.asarray(p.U)[:, 6] * 0  # placeholder
     # base x profile relative to current
     bx = X[:, 6] - float(x_obs[6])
     # report plan x displacement at 0.1s intervals
