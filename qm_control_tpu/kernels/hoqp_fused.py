@@ -267,15 +267,33 @@ def _tsum(tree):
 
 
 def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
-              qp_iters):
+              qp_iters, warm=None):
     """Mehrotra predictor-corrector IP, replicating wbc.qp.solve_qp on
     pytree-structured primal (x) and slack (s) spaces with lane masks.
 
     Hmv/Gmv/GTmv: linear operators (x->x, x->s, s->x). solveM(d, rhs):
     solve (H + G' diag(d) G) dx = rhs given the per-row weights d.
-    Returns (best_x, best_s_slack_tree) by KKT merit.
+    Returns (best_x, best_s_slack_tree, best_lam) by KKT merit.
+
+    warm: optional (valid, wx, wlam) — previous-solve primal/dual used as
+    the starting iterate, blended by the runtime scalar `valid` (0 -> the
+    cold init, bit-exact with the warm path compiled in). Consecutive WBC
+    ticks differ by ~2 ms of state, so the warm iterate starts at the
+    prior optimum: slacks are recomputed from the warm primal (s = h-Gx,
+    floored low instead of at the cold 1.0 — active rows sit near the
+    boundary), duals carry over. This is the TPU analog of the
+    reference's implicit qpOASES warm start (HoQp.cpp:135-150: nWSR from
+    the prior active set).
     """
     big = jnp.float32(1e30)
+    if warm is not None:
+        valid, wx, wlam = warm
+        x0 = _tmap(lambda cold, w: valid * w + (1.0 - valid) * cold, x0, wx)
+        s_floor = valid * 1e-3 + (1.0 - valid) * 1.0
+    else:
+        valid = jnp.float32(0.0)
+        wlam = None
+        s_floor = jnp.float32(1.0)
 
     def msk(s_tree):
         return _tmap(lambda a, m: a * m, s_tree, smask)
@@ -295,9 +313,11 @@ def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
                                   jax.tree_util.tree_leaves(ratios)))
         return jnp.minimum(1.0, worst)
 
-    s0 = _tmap(lambda hh, gx, m: (jnp.maximum(hh - gx, 1.0)) * m + (1 - m),
-               h, Gmv(x0), smask)
-    lam0 = smask
+    s0 = _tmap(lambda hh, gx, m: (jnp.maximum(hh - gx, s_floor)) * m
+               + (1 - m), h, Gmv(x0), smask)
+    lam0 = (smask if wlam is None else
+            _tmap(lambda m, w: (valid * jnp.maximum(w, 1e-6)
+                                + (1.0 - valid)) * m, smask, wlam))
 
     def body(_i, carry):
         # fori_loop (not lax.scan): Mosaic's scan lowering requires a
@@ -312,8 +332,18 @@ def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
         rp_max = functools.reduce(jnp.maximum,
                                   (jnp.max(jnp.abs(r)) for r in
                                    jax.tree_util.tree_leaves(r_p)))
+        # the gate must also check the DUAL residual: a warm-started
+        # iterate near the PREVIOUS problem's optimum has tiny mu and
+        # (by construction of s0) tiny r_p, but carries the full
+        # objective change in r_d — gating on (mu, r_p) alone froze warm
+        # solves at the stale optimum (measured: warm cascade returned
+        # the previous tick's torques verbatim, 2.8 Nm off)
+        rd_max = functools.reduce(jnp.maximum,
+                                  (jnp.max(jnp.abs(r)) for r in
+                                   jax.tree_util.tree_leaves(r_d)))
         gate = jnp.where((mu < _GATE_TOL * scale)
-                         & (rp_max < _GATE_TOL * scale), 0.0, 1.0)
+                         & (rp_max < _GATE_TOL * scale)
+                         & (rd_max < 1e-4 * scale), 0.0, 1.0)
         d = _tmap(lambda l, ss: jnp.minimum(jnp.maximum(l / ss, 1e-12), 1e8), lam, s)
         # predictor (affine direction)
         rc_aff = msk(_tmap(lambda ss, l, rp: (-ss * l + l * rp) / ss,
@@ -357,7 +387,7 @@ def _ip_solve(x0, c, h, smask, m_count, Hmv, Gmv, GTmv, solveM, scale,
     init = (x0, s0, lam0, x0, s0, lam0, merit(x0, s0, lam0))
     (x, s, lam, bx, bs, blam, _) = jax.lax.fori_loop(0, qp_iters, body,
                                                      init)
-    return bx, bs
+    return bx, bs, blam
 
 
 # ---------------------------------------------------------------------------
@@ -368,11 +398,16 @@ def _norm_masked(v, mask):
     return jnp.sqrt(jnp.sum(v * v * mask))
 
 
-def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
+def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec,
+                  warm=None):
     """Lexicographic 3-level cascade on padded (128,128)/(1,128) buffers.
     Semantics of wbc.hoqp.hoqp_solve for the WBC stack family
     (level 0 carries the inequalities; levels 1-2 are equality tasks).
-    Returns x as a (1,128) row vector (36 active lanes)."""
+    Returns (x, warm_out): x as a (1,128) row vector (36 active lanes),
+    warm_out a (9,128) buffer of per-level primal/dual iterates for the
+    NEXT solve's warm start (row 0: validity broadcast; rows 1-8:
+    z0, v0, lam_a, lam_b, z1, lam1, z2, lam2). Pass the previous solve's
+    warm_out back in as `warm` (same layout; row 0 nonzero => use it)."""
     eye = _eye()
     nx = NUM_DECISION_VARS
     zmask = _lane_mask(nx)
@@ -427,7 +462,16 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
         inv0 = _gj_inverse(Hz, nx, eye)
         return _refined_solve_op(inv0, hz_mv, -cz, zmask)
 
-    def eq_level_solve(Hz, cz, hz_mv, B, h, smask1, m_count):
+    if warm is not None:
+        w_valid = jnp.minimum(jnp.max(warm[0:1]), 1.0)
+        wz0, wv0 = warm[1:2], warm[2:3]
+        wlam_a, wlam_b = warm[3:4], warm[4:5]
+        wz1, wlam1 = warm[5:6], warm[6:7]
+        wz2, wlam2 = warm[7:8], warm[8:9]
+    else:
+        w_valid = None
+
+    def eq_level_solve(Hz, cz, hz_mv, B, h, smask1, m_count, wz, wlam):
         """Level with no new slack: decision z (36), inequalities B z <= h
         (the level-0 rows carried down through Z)."""
         def Hmv(z):
@@ -450,9 +494,11 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
 
         scale = jnp.maximum(1.0, _norm_masked(cz, zmask))
         x0 = init_solve(Hz, cz, hz_mv)
-        bx, _ = _ip_solve(x0, cz, h, smask1, m_count, Hmv, Gmv, GTmv,
-                          solveM, scale, spec.qp_iters)
-        return bx
+        lvl_warm = (None if w_valid is None
+                    else (w_valid, wz * zmask, wlam * smask1))
+        bx, _, blam = _ip_solve(x0, cz, h, smask1, m_count, Hmv, Gmv, GTmv,
+                                solveM, scale, spec.qp_iters, warm=lvl_warm)
+        return bx, blam
 
     # ---------------- level 0: (z, v) with slack v ----------------
     x = jnp.zeros((1, LANES), jnp.float32)
@@ -492,9 +538,12 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     smask0 = (vmask, dmask)
     scale0 = jnp.maximum(1.0, _norm_masked(cz0, zmask))
     x0_init = (init_solve(Hz0, cz0, hz0_mv), zeros)
-    (z0s, v0s), _ = _ip_solve(x0_init, c0, h0, smask0, n_v + n_act,
-                              Hmv0, Gmv0, GTmv0, solveM0, scale0,
-                              spec.qp_iters)
+    warm0 = (None if w_valid is None
+             else (w_valid, (wz0 * zmask, wv0 * vmask),
+                   (wlam_a * vmask, wlam_b * dmask)))
+    (z0s, v0s), _, (lam_as, lam_bs) = _ip_solve(
+        x0_init, c0, h0, smask0, n_v + n_act, Hmv0, Gmv0, GTmv0, solveM0,
+        scale0, spec.qp_iters, warm=warm0)
     x = x + _dg(z0s, Z, ((1,), (1,)))
     Z = _mm(Z, projector(Az0, spec.ma0))
 
@@ -510,16 +559,23 @@ def _cascade_math(A0, b0, D, f, A1, b1, A2, b2, spec: FusedCascadeSpec):
     # ---------------- level 1 ----------------
     Az1, Hz1, cz1, hz1_mv = level_data(A1, b1, Z, x)
     B1 = _mm(D, Z)
-    z1s = eq_level_solve(Hz1, cz1, hz1_mv, B1, carried_h(x), dmask, n_act)
+    z1s, lam1s = eq_level_solve(Hz1, cz1, hz1_mv, B1, carried_h(x), dmask,
+                                n_act, wz1 if w_valid is not None else None,
+                                wlam1 if w_valid is not None else None)
     x = x + _dg(z1s, Z, ((1,), (1,)))
     Z = _mm(Z, projector(Az1, spec.ma1))
 
     # ---------------- level 2 ----------------
     Az2, Hz2, cz2, hz2_mv = level_data(A2, b2, Z, x)
     B2 = _mm(D, Z)
-    z2s = eq_level_solve(Hz2, cz2, hz2_mv, B2, carried_h(x), dmask, n_act)
+    z2s, lam2s = eq_level_solve(Hz2, cz2, hz2_mv, B2, carried_h(x), dmask,
+                                n_act, wz2 if w_valid is not None else None,
+                                wlam2 if w_valid is not None else None)
     x = x + _dg(z2s, Z, ((1,), (1,)))
-    return x
+    warm_out = jnp.concatenate(
+        [jnp.ones((1, LANES), jnp.float32), z0s, v0s, lam_as, lam_bs,
+         z1s, lam1s, z2s, lam2s], axis=0)
+    return x, warm_out
 
 
 # ---------------------------------------------------------------------------
@@ -544,38 +600,56 @@ def _padded_operands(t0: Task, t1: Task, t2: Task):
 
 
 def fused_hoqp_reference(t0: Task, t1: Task, t2: Task,
-                         qp_iters: int = 20) -> jnp.ndarray:
-    """The kernel math as plain XLA (CPU tests / debugging). Returns the
-    (36,) decision vector."""
+                         qp_iters: int = 20, warm=None,
+                         return_warm: bool = False):
+    """The kernel math as plain XLA (CPU closed loop, batch path, tests).
+    Returns the (36,) decision vector, or (x, warm_out (9,128)) with
+    return_warm=True; pass the previous solve's warm_out as `warm`."""
     ops, spec = _padded_operands(t0, t1, t2)
     spec = spec._replace(qp_iters=qp_iters)
-    x = _cascade_math(*ops, spec)
-    return x[0, :NUM_DECISION_VARS]
+    x, warm_out = _cascade_math(*ops, spec, warm=warm)
+    x = x[0, :NUM_DECISION_VARS]
+    return (x, warm_out) if return_warm else x
 
 
 INTERPRET = False   # pallas interpreter mode (CPU validation of the
                     # pallas_call packaging; Mosaic lowering needs TPU)
 
 
-def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec):
+def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec, warm=None):
     # NOTE: deliberately NOT jax.jit-wrapped — a nested jit becomes a
     # closed_call primitive that trips XLA's cached-lowering path when
     # the caller embeds this inside lax.scan; callers are jitted anyway.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(A0r, b0r, Dr, fr, A1r, b1r, A2r, b2r, out_ref):
-        out_ref[:] = _cascade_math(A0r[:], b0r[:], Dr[:], fr[:], A1r[:],
-                                   b1r[:], A2r[:], b2r[:], spec)
-
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = (jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((9, LANES), jnp.float32))
+
+    if warm is None:
+        def kernel(A0r, b0r, Dr, fr, A1r, b1r, A2r, b2r, out_ref, wout_ref):
+            x, w = _cascade_math(A0r[:], b0r[:], Dr[:], fr[:], A1r[:],
+                                 b1r[:], A2r[:], b2r[:], spec)
+            out_ref[:] = x
+            wout_ref[:] = w
+
+        return pl.pallas_call(
+            kernel, out_shape=outs, in_specs=[vspec] * 8,
+            out_specs=(vspec, vspec), interpret=INTERPRET,
+        )(A0, b0, D, f, A1, b1, A2, b2)
+
+    def kernel_w(A0r, b0r, Dr, fr, A1r, b1r, A2r, b2r, wr,
+                 out_ref, wout_ref):
+        x, w = _cascade_math(A0r[:], b0r[:], Dr[:], fr[:], A1r[:],
+                             b1r[:], A2r[:], b2r[:], spec, warm=wr[:])
+        out_ref[:] = x
+        wout_ref[:] = w
+
     return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-        in_specs=[vspec] * 8,
-        out_specs=vspec,
-        interpret=INTERPRET,
-    )(A0, b0, D, f, A1, b1, A2, b2)
+        kernel_w, out_shape=outs, in_specs=[vspec] * 9,
+        out_specs=(vspec, vspec), interpret=INTERPRET,
+    )(A0, b0, D, f, A1, b1, A2, b2, warm)
 
 
 def fused_hoqp_batched(t0: Task, t1: Task, t2: Task,
@@ -600,24 +674,35 @@ def fused_hoqp_batched(t0: Task, t1: Task, t2: Task,
         the pivoted GJ's argmax+gather per elimination step serializes
         horribly under batching while the one-hot extraction here
         vectorizes.
-    So the deployed batch path is the vmapped XLA math. The B=1
-    real-time path stays the Mosaic kernel (fused_hoqp)."""
-    return jax.vmap(lambda a, b, c: fused_hoqp_reference(
+    So the deployed batch path became the vmapped XLA math — and in
+    round 5 the EXACT-SHAPE rewrite of the same math
+    (kernels.cascade_exact: 6748 vs 1588 solves/s at B=256/20 iters —
+    the padded (128,128) buffers, not the iterations, were the dominant
+    batched cost). The B=1 real-time path stays the Mosaic kernel
+    (fused_hoqp)."""
+    from .cascade_exact import cascade_exact
+    return jax.vmap(lambda a, b, c: cascade_exact(
         a, b, c, qp_iters))(t0, t1, t2)
 
 
 def fused_hoqp(t0: Task, t1: Task, t2: Task,
-               qp_iters: int = 20) -> jnp.ndarray:
+               qp_iters: int = 20, warm=None, return_warm: bool = False):
     """Solve the 3-level cascade in one Pallas kernel; returns the (36,)
     decision vector (drop-in for wbc.hoqp.hoqp_solve on this stack
     family: level 0 owns all inequalities, levels 1-2 are equality
     tasks). On non-TPU backends (CPU tests) the same math runs as plain
-    XLA — identical results, no Mosaic."""
+    XLA — identical results, no Mosaic.
+
+    warm/return_warm: tick-to-tick warm start (see _cascade_math) — pass
+    the previous tick's warm_out; with a warm iterate the cascade holds
+    referee-level torque accuracy at roughly half the IP iterations."""
     assert t1.D.shape[0] == 0 and t2.D.shape[0] == 0, (
         "fused cascade supports inequalities at level 0 only")
     if jax.default_backend() not in ("tpu", "axon"):
-        return fused_hoqp_reference(t0, t1, t2, qp_iters)
+        return fused_hoqp_reference(t0, t1, t2, qp_iters, warm=warm,
+                                    return_warm=return_warm)
     ops, spec = _padded_operands(t0, t1, t2)
     spec = spec._replace(qp_iters=qp_iters)
-    x = _fused_call(*ops, spec)
-    return x[0, :NUM_DECISION_VARS]
+    x, warm_out = _fused_call(*ops, spec, warm=warm)
+    x = x[0, :NUM_DECISION_VARS]
+    return (x, warm_out) if return_warm else x

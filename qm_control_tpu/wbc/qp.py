@@ -158,8 +158,12 @@ def solve_qp(H, c, G, h, num_iters: int = 25, tau: float = 0.995,
         r_d = H_mv_eq(x) + c + G.T @ lam
         r_p = (G @ x + s - h) * act
         mu = jnp.dot(s * act, lam) / m_act
+        # gate on the dual residual too (see kernels.hoqp_fused._ip_solve:
+        # gating on (mu, r_p) alone freezes warm-started iterates at the
+        # previous problem's optimum)
         gate = jnp.where((mu < gate_tol * scale)
-                         & (jnp.max(jnp.abs(r_p)) < gate_tol * scale),
+                         & (jnp.max(jnp.abs(r_p)) < gate_tol * scale)
+                         & (jnp.max(jnp.abs(r_d)) < 1e-4 * scale),
                          0.0, 1.0).astype(dtype)
         d = jnp.clip(lam / s, 1e-12, 1e8) * act
         M = H + G.T @ (d[:, None] * G)

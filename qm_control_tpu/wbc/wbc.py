@@ -108,11 +108,13 @@ def hierarchical_wbc_update(model: RobotModel, info: C.CentroidalInfo,
         m, d, gains.kp_base_linear, gains.kd_base_linear)
 
     if fused_cascade == "xla":
-        # the fused kernel's no-pivot cascade MATH as plain XLA: the
-        # vmappable batch path (see kernels.hoqp_fused.fused_hoqp_batched
-        # rationale — a vmapped pallas_call serializes over the grid)
-        from ..kernels.hoqp_fused import fused_hoqp_reference
-        x_opt = fused_hoqp_reference(t0, t1, t2)
+        # the no-pivot cascade math on EXACT problem shapes: the
+        # vmappable batch path (a vmapped pallas_call serializes over the
+        # grid, and the padded (128,128) XLA math wastes >70 % of every
+        # pass — kernels.cascade_exact measured 6748 vs 1588 solves/s at
+        # B=256/20 iters on a v5e)
+        from ..kernels.cascade_exact import cascade_exact
+        x_opt = cascade_exact(t0, t1, t2)
     elif fused_cascade:
         from ..kernels.hoqp_fused import fused_hoqp
         x_opt = fused_hoqp(t0, t1, t2)

@@ -242,7 +242,9 @@ def test_pallas_call_packaging_interpret(wbc_stacks):
     KF.INTERPRET = True
     try:
         ops, spec = KF._padded_operands(t0, t1, t2)
-        x_pallas = np.asarray(KF._fused_call(*ops, spec))[0, :36]
+        x_out, warm_out = KF._fused_call(*ops, spec)
+        x_pallas = np.asarray(x_out)[0, :36]
+        assert warm_out.shape == (9, KF.LANES)
     finally:
         KF.INTERPRET = old
     assert np.max(np.abs(x_direct - x_pallas)) < 1e-3 * (
@@ -321,3 +323,59 @@ def test_referee_conditioning_floor_trot():
     assert band < 5.0, spreads   # sanity: not a broken problem
     print("referee dust wander band (Nm):",
           [round(s, 3) for s in spreads])
+
+
+def _objectives(st, x):
+    t0, t1, t2 = st
+    viol = float(jnp.max(jnp.maximum(t0.D @ x - t0.f, 0.0)))
+    return np.asarray([float(jnp.linalg.norm(t.A @ x - t.b))
+                       for t in (t0, t1, t2)] + [viol])
+
+
+@pytest.mark.heavy
+def test_cascade_exact_matches_padded_objectives(wbc_stacks):
+    """The exact-shape batched cascade (kernels.cascade_exact) must land
+    at the same lexicographic optimum as the padded kernel math.
+    Torques wander ~1-2 Nm at degenerate optima (the measured referee
+    conditioning floor, test_referee_conditioning_floor_trot), so the
+    comparison is on per-level objectives."""
+    from qm_control_tpu.kernels.cascade_exact import cascade_exact
+    for flags, vq in ((jnp.ones(4), jnp.zeros(24)),
+                      (jnp.asarray([1., 0., 0., 1.]),
+                       0.05 * jnp.ones(24))):
+        _, st = wbc_stacks(flags, vq)
+        op = _objectives(st, fused_hoqp_reference(*st, qp_iters=20))
+        oe = _objectives(st, cascade_exact(*st, qp_iters=20))
+        scale = np.maximum(np.abs(op), 1.0)
+        # same optimum family: each level objective within 20% + small
+        # absolute slack of the padded path's value
+        assert (np.abs(oe - op) <= 0.2 * scale + 0.6).all(), (op, oe)
+
+
+@pytest.mark.heavy
+def test_cascade_exact_warm_invalid_is_cold(wbc_stacks):
+    """valid=0 warm carry must reproduce the cold path bit-exactly (the
+    closed loop's first tick runs through the same compiled fn)."""
+    from qm_control_tpu.kernels.cascade_exact import (cascade_exact,
+                                                      zero_warm)
+    _, st = wbc_stacks(jnp.ones(4), jnp.zeros(24))
+    xc = np.asarray(cascade_exact(*st, qp_iters=12))
+    xw = np.asarray(cascade_exact(*st, qp_iters=12,
+                                  warm=zero_warm(st[0].D.shape[0])))
+    np.testing.assert_array_equal(xc, xw)
+
+
+@pytest.mark.heavy
+def test_cascade_exact_warm_start_stays_optimal(wbc_stacks):
+    """A warm carry from a neighbouring state must not degrade the
+    optimum at reduced iteration count (the batched fleet's deployed
+    configuration)."""
+    from qm_control_tpu.kernels.cascade_exact import cascade_exact
+    _, stA = wbc_stacks(jnp.asarray([1., 0., 0., 1.]), 0.05 * jnp.ones(24))
+    _, stB = wbc_stacks(jnp.asarray([1., 0., 0., 1.]),
+                        0.05 * jnp.ones(24) + 1e-3)
+    _, w = cascade_exact(*stA, qp_iters=20, return_warm=True)
+    o_cold = _objectives(stB, cascade_exact(*stB, qp_iters=20))
+    o_warm = _objectives(stB, cascade_exact(*stB, qp_iters=10, warm=w))
+    scale = np.maximum(np.abs(o_cold), 1.0)
+    assert (o_warm - o_cold <= 0.25 * scale + 0.6).all(), (o_cold, o_warm)

@@ -71,6 +71,7 @@ def run_traverse(spec):
     ramp = float(kv.get("ramp", 0.5))
     max_time = float(kv.get("max", 16.0))
     delay = float(kv.get("delay", 0.0))
+    taper = float(kv.get("taper", 0.0))
     tuned = kv.get("tuned", "1") not in ("0", "false")
     gait = kv.get("gait", "trot")
     orig = em._loop_cfg
@@ -82,11 +83,12 @@ def run_traverse(spec):
         cfg = tuned_cfg(mu_o=mu_o) if tuned else None
         r = E.traverse_ee_hold(cfg=cfg, gait=gait, speed=speed,
                                max_time=max_time, delay_s=delay,
-                               cmd_ramp_s=ramp)
+                               cmd_ramp_s=ramp, taper_dist=taper)
     finally:
         em._loop_cfg = orig
     prof = (f"mu12000/{mu_o:g}" if tuned else "reference task.info weights")
     r["profile"] = (f"{prof} mrt_lag{lag} cmd {speed} ramp {ramp:g}"
+                    + (f" taper{taper:g}" if taper else "")
                     + (f" delay{delay * 1e3:g}ms(comp)" if delay else ""))
     if "note" in kv:
         r["note"] = kv["note"]
