@@ -92,7 +92,7 @@ def zero_warm(nv: int = 56) -> ExactWarm:
     return ExactWarm(jnp.asarray(0.0, jnp.float32), z, v, v, v, z, v, z, v)
 
 
-def cascade_exact(t0: Task, t1: Task, t2: Task, qp_iters: int = 20,
+def cascade_exact(t0: Task, t1: Task, t2: Task, qp_iters: int = 10,
                   warm: Optional[ExactWarm] = None,
                   return_warm: bool = False):
     """Solve the 3-level cascade (inequalities at level 0 only) on exact

@@ -64,7 +64,7 @@ class FusedCascadeSpec(NamedTuple):
     nv0: int
     ma1: int
     ma2: int
-    qp_iters: int = 20
+    qp_iters: int = 10
 
 
 # ---------------------------------------------------------------------------
@@ -600,7 +600,7 @@ def _padded_operands(t0: Task, t1: Task, t2: Task):
 
 
 def fused_hoqp_reference(t0: Task, t1: Task, t2: Task,
-                         qp_iters: int = 20, warm=None,
+                         qp_iters: int = 10, warm=None,
                          return_warm: bool = False):
     """The kernel math as plain XLA (CPU closed loop, batch path, tests).
     Returns the (36,) decision vector, or (x, warm_out (9,128)) with
@@ -653,7 +653,7 @@ def _fused_call(A0, b0, D, f, A1, b1, A2, b2, spec, warm=None):
 
 
 def fused_hoqp_batched(t0: Task, t1: Task, t2: Task,
-                       qp_iters: int = 20) -> jnp.ndarray:
+                       qp_iters: int = 10) -> jnp.ndarray:
     """Batched cascade: tasks carry a leading batch dim B; returns
     (B, 36) decision vectors.
 
@@ -686,7 +686,7 @@ def fused_hoqp_batched(t0: Task, t1: Task, t2: Task,
 
 
 def fused_hoqp(t0: Task, t1: Task, t2: Task,
-               qp_iters: int = 20, warm=None, return_warm: bool = False):
+               qp_iters: int = 10, warm=None, return_warm: bool = False):
     """Solve the 3-level cascade in one Pallas kernel; returns the (36,)
     decision vector (drop-in for wbc.hoqp.hoqp_solve on this stack
     family: level 0 owns all inequalities, levels 1-2 are equality

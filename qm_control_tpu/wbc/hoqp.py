@@ -96,15 +96,19 @@ def _kernel_basis(Az, rel_tol=1e-5):
     return K[:n, :n].astype(Az.dtype)
 
 
-def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 20):
+def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 10):
     """Solve the lexicographic cascade; tasks ordered highest priority
     first. Returns the optimal decision vector x (36,).
 
-    qp_iters: fixed Mehrotra-IP iteration count per level. With the
-    round-3 numerics (active-row mask + relative ridge) the last ~0.7 Nm
-    of trot-stack agreement with the f64 referee arrives between
-    iterations 15 and 20; 20 holds the 2 ms budget on the fused-kernel
-    path (each iteration is a sequential 36-dim solve)."""
+    qp_iters: fixed Mehrotra-IP iteration count per level. Round-3
+    numerics needed 15-20 ("the last ~0.7 Nm arrives between iterations
+    15 and 20"); with the round-4/5 solver (dual-residual convergence
+    gate, refined Schur solves) a live-stack sweep measured per-level
+    objectives CONVERGED at k=6 on 25 consecutive mid-trot closed-loop
+    stacks (tools/diag_wbc_iters_live.py: worst dobj ~3e-4 of a ~20
+    objective scale at k=6, flat through k=40). Default 10 keeps a 1.7x
+    margin and nearly halves both the B=1 kernel latency and the
+    batched-fleet cost."""
     nx = NUM_DECISION_VARS
     dtype = tasks[0].A.dtype
     x = jnp.zeros(nx, dtype=dtype)
