@@ -108,7 +108,10 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
     z = lambda r, c, dtype: jnp.zeros((r, c), dtype=dtype)
 
     def flow_and_jacs(x, u, ee_wrench, ee_pJ=None):
-        """f(x,u) with Jx (30,30), Ju (30,30), built by block concat.
+        """f(x,u) with the Jacobians in COMPACT row-block form:
+        R (9,30) = rows 3:12 of Jx (its only nonzero rows: momentum
+        torque + base-velocity map), S (6,30) = rows 0:6 of Ju (rows
+        6:12 are zero, rows 12:30 are the constant [0 I18]).
         ee_pJ: (p_ee, J_ee(3,30)) at this state when ee_wrench is set."""
         dtype = x.dtype
         q = C.state_to_q(x)
@@ -145,25 +148,21 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
         row612 = jnp.concatenate(
             [J_bd9[:, :6], z(6, 3, dtype), J_bd9[:, 6:9], z(6, 18, dtype)],
             axis=1)
-        Jx = jnp.concatenate([z(3, 30, dtype), row36, row612,
-                              z(18, 30, dtype)], axis=0)
+        R = jnp.concatenate([row36, row612], axis=0)         # (9,30)
 
-        # Ju rows: 0:3 forces/m; 3:6 skew(r_i)/m; 12:30 identity
+        # Ju rows: 0:3 forces/m; 3:6 skew(r_i)/m; (12:30 identity const)
         urow03 = jnp.concatenate(
             [jnp.tile(jnp.eye(3, dtype=dtype) / mass, (1, 4)),
              z(3, 18, dtype)], axis=1)
         Sr12 = jnp.concatenate(
             [_skew(r[f]) for f in range(4)], axis=1) / mass  # (3,12)
         urow36 = jnp.concatenate([Sr12, z(3, 18, dtype)], axis=1)
-        urow_j = jnp.concatenate(
-            [z(18, 12, dtype), jnp.eye(18, dtype=dtype)], axis=1)
-        Ju = jnp.concatenate([urow03, urow36, z(6, 30, dtype), urow_j],
-                             axis=0)
+        S = jnp.concatenate([urow03, urow36], axis=0)        # (6,30)
 
         g = jnp.array([0.0, 0.0, -C.GRAVITY], dtype=dtype)
         f_val = jnp.concatenate([f_total / mass + g, tau_com / mass, bd,
                                  u[12:30]])
-        return f_val, Jx, Ju
+        return f_val, R, S
 
     def legvel_rows(x, w, flags, zdot):
         """The 12 leg-velocity components of u = u0(x) + N(x) w, in
@@ -188,8 +187,11 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
         return jnp.concatenate([rows[f] for f in foot_for_block])  # (12,)
 
     def param_and_jac(x, w, flags, zdot):
-        """u (30,), du/dx (30,30), N (30,30). The x-derivative lives only
-        in the 12 leg-velocity rows; 21 tangents through the leg chains."""
+        """u (30,) plus the input map in COMPACT block form: the only
+        x-dependent rows of du/dx are the 12 leg velocities -> Jlegs
+        (12,30); N is block-diagonal [diag(cf12), Nl, I6] -> cf12 (12,)
+        force-mask diagonal and Nl (12,12) swing-projector block. 21
+        tangents through the leg chains."""
         dtype = x.dtype
 
         def f(p21):
@@ -203,26 +205,20 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
         Jlegs = jnp.concatenate(
             [J21[:, :6], z(12, 3, dtype), J21[:, 6:9], J21[:, 9:21],
              z(12, 6, dtype)], axis=1)                       # (12,30)
-        Ju_param = jnp.concatenate(
-            [z(12, 30, dtype), Jlegs, z(6, 30, dtype)], axis=0)
 
         c = jnp.asarray(flags, dtype=dtype)
         u_forces = jnp.concatenate(
             [c[f] * w[3 * f:3 * f + 3] for f in range(4)])
         u = jnp.concatenate([u_forces, legs, w[24:30]])
 
-        # N: force mask diag, swing projectors on leg blocks, arm identity
+        # N blocks: force mask diag, swing projectors on leg blocks
+        # (the arm block is the identity and stays implicit)
         _, _, Jl = chainfk.foot_kinematics(model, C.state_to_q(x))
         a = Jl[:, 2, :]
         aa = jnp.sum(a * a, axis=1) + _DAMP
         P_swing = (jnp.broadcast_to(jnp.eye(3, dtype=dtype), (4, 3, 3))
                    - a[:, :, None] * a[:, None, :] / aa[:, None, None])
-        eye3 = jnp.eye(3, dtype=dtype)
-        Nf = jnp.concatenate(
-            [jnp.concatenate(
-                [c[f] * eye3 if ff == f else z(3, 3, dtype)
-                 for ff in range(4)], axis=1)
-             for f in range(4)], axis=0)                     # (12,12)
+        cf12 = jnp.repeat(c, 3)                              # (12,)
         blocks = []
         for b_ in range(4):
             f_ = int(foot_for_block[b_])
@@ -230,12 +226,7 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
             row[b_] = (1.0 - c[f_]) * P_swing[f_]
             blocks.append(jnp.concatenate(row, axis=1))
         Nl = jnp.concatenate(blocks, axis=0)                 # (12,12)
-        N = jnp.concatenate([
-            jnp.concatenate([Nf, z(12, 12, dtype), z(12, 6, dtype)], axis=1),
-            jnp.concatenate([z(12, 12, dtype), Nl, z(12, 6, dtype)], axis=1),
-            jnp.concatenate([z(6, 24, dtype), jnp.eye(6, dtype=dtype)],
-                            axis=1)], axis=0)
-        return u, Ju_param, N
+        return u, Jlegs, cf12, Nl
 
     def ee_and_jac(x, p_ref, q_ref):
         """EE residual e(6), Je (6,30), and the EE position + (3,30)
@@ -259,10 +250,10 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
                         ee_wrench=None):
         p_ref, q_ref = interpolate_ee_pose(target, t)
         e, Je, p_ee, J_ee_pos = ee_and_jac(x, p_ref, q_ref)
-        u, Ju_param, N = param_and_jac(x, w, flags, zdot)
+        u, Jlegs, cf12, Nl = param_and_jac(x, w, flags, zdot)
 
         ee_pJ = (p_ee, J_ee_pos) if ee_wrench is not None else None
-        f0, Jx0, Ju0 = flow_and_jacs(x, u, ee_wrench, ee_pJ)
+        f0, R0, S0 = flow_and_jacs(x, u, ee_wrench, ee_pJ)
         x_mid = x + 0.5 * dt * f0
         if ee_wrench is not None:
             # the wrench's state Jacobian needs the EE Jacobian AT x_mid
@@ -270,31 +261,68 @@ def make_structured_linearize(model: RobotModel, info: C.CentroidalInfo,
             ee_pJ_mid = (p_ee_m, J_ee_m)
         else:
             ee_pJ_mid = None
-        f1, Jx1, Ju1 = flow_and_jacs(x_mid, u, ee_wrench, ee_pJ_mid)
+        f1, R1, S1 = flow_and_jacs(x_mid, u, ee_wrench, ee_pJ_mid)
 
-        I = jnp.eye(30, dtype=x.dtype)
-        # F = x + dt f(x + dt/2 f(x,u), u): exact RK2 chain rule.
-        # All (30,30)x(30,30) products here are contraction-unrolled
-        # (models/smallmat): under the (B, N)-vmapped solve, XLA lowers a
-        # batched 30x30 dot_general through its convolution path with
-        # (256,67,30,30) layout copies around every product — measured
-        # round 4 as ~15 of the 41 ms linearize stage at B=256 (the
-        # copies alone 0.5-1.3 ms each); the unrolled forms fuse into
-        # single lane-parallel VPU kernels with no layout churn.
-        dFdx_u = I + dt * (Jx1 + 0.5 * dt * mm_unrolled(Jx1, Jx0))
-        dFdu_x = dt * (0.5 * dt * mm_unrolled(Jx1, Ju0) + Ju1)
-        A = dFdx_u + mm_unrolled(dFdu_x, Ju_param)
-        B = mm_unrolled(dFdu_x, N)
+        dtype = x.dtype
+        I = jnp.eye(30, dtype=dtype)
+        # F = x + dt f(x + dt/2 f(x,u), u): exact RK2 chain rule, composed
+        # in ROW-BLOCK form. Jx has only 9 nonzero rows (3:12) and Ju only
+        # 6 variable rows (0:6; 12:30 is the constant [0 I18]), so the
+        # dense (30,30)x(30,30) products of the padded formulation carry
+        # >3x redundant work AND — under the contraction-unrolled lowering
+        # the (B,N)-vmapped solve needs (see round-4 note below) — >3x
+        # redundant partial-sum bytes. Round-5 roofline: the dense form's
+        # linearize stage ran at 760 GB/s, i.e. AT the v5e HBM roofline,
+        # 77.8 MB/solve; cutting contraction dims (30 -> 9/12) and output
+        # rows is the only way down.
+        # (Round-4 note: a batched 30x30 dot_general lowers through XLA's
+        # convolution path with (256,67,30,30) layout copies; the
+        # unrolled forms fuse into lane-parallel VPU kernels.)
+        M01 = mm_unrolled(R1[:, 3:12], R0)                   # (9,30)
+        R_A = R1 + 0.5 * dt * M01                            # rows 3:12 of (A-I)/dt
+        A = I.at[3:12, :].add(dt * R_A)
+
+        # T = rows 3:12 of Jx1 @ Ju0  (Ju0 = rows 0:6 = S0, rows 12:30 = [0 I])
+        T = mm_unrolled(R1[:, 0:6], S0)
+        T = T.at[:, 12:30].add(R1[:, 12:30])                 # (9,30)
+        # U = rows 0:12 of dFdu_x; rows 12:30 are dt*[0 I18] (constant)
+        U = jnp.zeros((12, 30), dtype=dtype)
+        U = U.at[0:6, :].set(dt * S1)
+        U = U.at[3:12, :].add(0.5 * dt * dt * T)
+
+        # A += dFdu_x @ Ju_param  (Ju_param rows nonzero only at 12:24)
+        A = A.at[0:12, :].add(mm_unrolled(U[:, 12:24], Jlegs))
+        A = A.at[12:24, :].add(dt * Jlegs)
+
+        # B = dFdu_x @ N  (N = blockdiag(diag(cf12), Nl, I6))
+        B = jnp.zeros((30, 30), dtype=dtype)
+        B = B.at[0:12, 0:12].set(U[:, 0:12] * cf12[None, :])
+        B = B.at[0:12, 12:24].set(mm_unrolled(U[:, 12:24], Nl))
+        B = B.at[0:12, 24:30].set(U[:, 24:30])
+        B = B.at[12:24, 12:24].set(dt * Nl)
+        B = B.at[24:30, 24:30].set(dt * jnp.eye(6, dtype=dtype))
 
         L, Lx, Lu, Lxx, Luu, Lux = stage_q_xu(t, x, u, target, flags, e, Je)
-        LuuJu = mm_unrolled(Luu, Ju_param)
-        lx = Lx + mtv_unrolled(Ju_param, Lu)
-        lw = mtv_unrolled(N, Lu)
-        JuLux = mtm_unrolled(Ju_param, Lux)
+
+        def NT_rows(G):
+            """N' @ G for (30, m) G, using the block structure."""
+            return jnp.concatenate([
+                cf12[:, None] * G[0:12], mtm_unrolled(Nl, G[12:24]),
+                G[24:30]], axis=0)
+
+        lx = Lx + mtv_unrolled(Jlegs, Lu[12:24])
+        lw = NT_rows(Lu[:, None])[:, 0]
+        LuuJu = mm_unrolled(Luu[:, 12:24], Jlegs)            # (30,30), k=12
+        JuLux = mtm_unrolled(Jlegs, Lux[12:24, :])           # (30,30), k=12
         lxx = (Lxx + JuLux + jnp.swapaxes(JuLux, -1, -2)
-               + mtm_unrolled(Ju_param, LuuJu))
-        lww = mm_unrolled(mtm_unrolled(N, Luu), N)
-        lwx = mtm_unrolled(N, Lux + LuuJu)
+               + mtm_unrolled(Jlegs, LuuJu[12:24, :]))
+        G = Lux + LuuJu
+        lwx = NT_rows(G)
+        # lww = N' Luu N: right-multiply by blocks, then N' by rows
+        K = jnp.concatenate([
+            Luu[:, 0:12] * cf12[None, :],
+            mm_unrolled(Luu[:, 12:24], Nl), Luu[:, 24:30]], axis=1)
+        lww = NT_rows(K)
         return (A, B, dt * L, dt * lx, dt * lw, dt * lxx, dt * lww,
                 dt * lwx)
 

@@ -68,8 +68,17 @@ class SqpSettings(NamedTuple):
     # the serial sweep — the log-depth win is swamped by each round's
     # large 30x30 element compositions at N=67, so OFF is the measured
     # default for both the B=1 and batched paths. The variant stays for
-    # longer horizons where log-depth eventually wins.
+    # longer horizons where log-depth eventually wins. Round-5
+    # re-measure at B=256: 238 vs 3690 solves/s full-step — the batched
+    # combine's (B,N,30,30) linalg.solve rounds swamp the log-depth win
+    # at batch too; OFF remains the measured default everywhere.
     parallel_riccati: bool = False
+    # lax.scan unroll factor for the backward sweep and forward
+    # rollouts: the backward step's serial 30-step unrolled Cholesky
+    # lowers to many tiny kernels (measured 258 us/node at B=256, 17
+    # GB/s, 0.6 MFLOP — pure launch/serialization overhead); unrolling
+    # the horizon scan lets XLA fuse across steps.
+    scan_unroll: int = 1
 
 
 class SqpSolution(NamedTuple):
@@ -192,7 +201,7 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
             return (Vx_new, Vxx_new), (kff, Kfb)
         (_, _), (kffs, Kfbs) = jax.lax.scan(
             bstep, (VxN, VxxN), (A, B, lx, lu, lxx, luu, lux, d),
-            reverse=True)
+            reverse=True, unroll=settings.scan_unroll)
         return kffs, Kfbs
 
     def linear_forward(X, W, A, B, d, kffs, Kfbs, alpha):
@@ -212,7 +221,8 @@ def sqp_solve(dynamics, stage_cost, final_cost, node_data, final_data,
             dx_next = mv_unrolled(A, dx) + mv_unrolled(B, dw) + alpha * dk
             return dx_next, (dx, dw)
         dxN, (dX, dW) = jax.lax.scan(
-            step, jnp.zeros(nx, dtype=x0.dtype), (A, B, d, kffs, Kfbs))
+            step, jnp.zeros(nx, dtype=x0.dtype), (A, B, d, kffs, Kfbs),
+            unroll=settings.scan_unroll)
         dX = jnp.concatenate([dX, dxN[None]], axis=0)
         return X + dX, W + dW
 

@@ -92,6 +92,14 @@ def run_traverse(spec):
                     + (f" delay{delay * 1e3:g}ms(comp)" if delay else ""))
     if "note" in kv:
         r["note"] = kv["note"]
+    if "save" in kv:
+        from qm_control_tpu.utils.viz import export_trajectory
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(root, "docs", "runs")
+        os.makedirs(dst, exist_ok=True)
+        npz = os.path.join(dst, kv["save"] + ".npz")
+        export_trajectory(r["log"], npz)
+        r["log_npz"] = os.path.relpath(npz, root)
     emit(r)
 
 
@@ -127,11 +135,16 @@ def main():
         elif arg.startswith("tracking"):
             run_tracking(arg.partition(":")[2])
         elif arg == "standing":
+            from qm_control_tpu.wbc import hoqp
+            import inspect
+            qp_iters = inspect.signature(
+                hoqp.hoqp_solve).parameters["qp_iters"].default
             for delay in (0.0, 0.009):
                 r = E.standing_ee_hold(gait="trot", delay_s=delay)
                 r["delay_s"] = delay
                 r["delay_compensated"] = bool(delay)
                 r["weights"] = "reference task.info"
+                r["wbc_qp_iters"] = qp_iters
                 emit(r)
         elif arg == "disturbance":
             for force in (15.0, 20.0, 25.0, 30.0):
