@@ -62,7 +62,7 @@ def _fleet_throughput(B, iters, settings=None):
 
 def point_current_backend(B=None, iters=None):
     import jax
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     B = B or (256 if on_tpu else 8)
     iters = iters or (10 if on_tpu else 2)
     settings = None
@@ -160,6 +160,65 @@ def point_two_host():
     return point_multi_host(2, 2, 4)
 
 
+def point_fullcycle_cpu_mesh(n_devices=8, B=32):
+    """Sharded FULL-cycle point (VERDICT r4 #6): the complete MPC+WBC+
+    plant cycle vmapped over B scenarios, batch axis sharded over an
+    n_devices virtual CPU mesh. Run in a subprocess (needs XLA_FLAGS)."""
+    code = (
+        "import os;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "os.environ['XLA_FLAGS']="
+        "'--xla_force_host_platform_device_count=%d';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys, json, time; sys.path.insert(0, %r);"
+        "import jax.numpy as jnp;"
+        "from qm_control_tpu.config import QmConfig;"
+        "import dataclasses;"
+        "from qm_control_tpu.parallel.batch import make_batched_cycle;"
+        "from qm_control_tpu.parallel.mesh import make_mesh, shard_scenarios;"
+        "from qm_control_tpu.solver.sqp import SqpSettings;"
+        "from qm_control_tpu.gaits.library import GAIT_LIBRARY, GaitSchedule;"
+        "from qm_control_tpu.ocp.reference import target_from_knots;"
+        "from __graft_entry__ import _setup;"
+        "cfg, model, info, x0, target, ms = _setup(QmConfig());"
+        "B=%d;"
+        "vcycle, make_carries = make_batched_cycle(model, info, cfg);"
+        "from qm_control_tpu.models.spec import default_q;"
+        "q0 = jnp.asarray(default_q(base_pos=(0,0,0.38)), jnp.float32);"
+        "carries = make_carries(q0, B);"
+        "mesh = make_mesh();"
+        "tile = lambda a: jnp.tile(jnp.asarray(a)[None], (B,)+(1,)*jnp.ndim(a));"
+        "tB = jax.tree_util.tree_map(tile, target);"
+        "msB = jax.tree_util.tree_map(tile, ms);"
+        "carries = shard_scenarios(mesh, carries);"
+        "tB = shard_scenarios(mesh, tB); msB = shard_scenarios(mesh, msB);"
+        "gains = cfg.wbc;"
+        "step = jax.jit(vcycle);"
+        "carries, m = step(carries, tB, msB, gains);"
+        "jax.block_until_ready(m.safe);"
+        "t0 = time.perf_counter();"
+        "carries, m = step(carries, tB, msB, gains);"
+        "jax.block_until_ready(m.safe);"
+        "dt = time.perf_counter() - t0;"
+        "print('RESULT ' + json.dumps({'point': 'fullcycle_1host_cpu%%d' %% %d,"
+        " 'devices': %d, 'batch': B,"
+        " 'cycles_per_s': round(B/dt, 2),"
+        " 'note': 'full MPC+WBC+plant cycle, batch axis sharded over the"
+        " virtual CPU mesh; absolute full-cycle throughput is the TPU"
+        " full_cycle section of THROUGHPUT.json'}))"
+        % (n_devices, REPO, B, n_devices, n_devices))
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=2400,
+        env={**{k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+             "PYTHONPATH": REPO}, cwd=REPO)
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(r.stdout[-2000:] + r.stderr[-2000:])
+
+
 def _cpu_point(n_devices, B, label):
     """One-process CPU-mesh point in a subprocess (needs its own
     XLA_FLAGS)."""
@@ -212,6 +271,16 @@ def main():
     for nproc, dpp, bl in ((2, 2, 4), (4, 1, 2)):
         results.append(point_multi_host(nproc, dpp, bl))
         print(json.dumps(results[-1]))
+    # real-batch multi-process trend (VERDICT r4 #6: >=64 scenarios per
+    # process, so the per-step work dominates the coordination overhead)
+    results.append(_cpu_point(4, 128, "1host_cpu4_b128"))
+    print(json.dumps(results[-1]))
+    results.append(point_multi_host(2, 2, 64))
+    results[-1]["point"] = "2host_cpu_b128"
+    print(json.dumps(results[-1]))
+    # sharded full-cycle point (the complete MPC+WBC+plant workload)
+    results.append(point_fullcycle_cpu_mesh())
+    print(json.dumps(results[-1]))
     # a 3-proc point at 3 devices needs its own 1-proc 3-device baseline
     # (4 isn't divisible by 3): emit both so the ratio stays like-for-like
     results.append(_cpu_point(3, 9, "1host_cpu3"))
@@ -220,9 +289,10 @@ def main():
     print(json.dumps(results[-1]))
 
     by = {r["point"]: r for r in results}
-    for nproc, basekey in ((2, "1host_cpu4"), (4, "1host_cpu4"),
-                           (3, "1host_cpu3")):
-        key = f"{nproc}host_cpu"
+    for key, basekey in (("2host_cpu", "1host_cpu4"),
+                         ("4host_cpu", "1host_cpu4"),
+                         ("3host_cpu", "1host_cpu3"),
+                         ("2host_cpu_b128", "1host_cpu4_b128")):
         if basekey in by and key in by:
             base, pt = by[basekey], by[key]
             pt["efficiency_vs_equal_device_1proc"] = round(
