@@ -108,14 +108,23 @@ def _standing_setup(cfg):
 def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
                      duration: float = 4.0, warmup: int = 25,
                      transient: float = 1.0, control_freq: float = 1000.0,
-                     delay_s: float = 0.0) -> dict:
+                     delay_s: float = 0.0, ee_offset_x: float = 0.0,
+                     mrt_policy_lag: int = 1, gains=None) -> dict:
     """Config #1: EE pose hold while standing / trotting in place.
 
     delay_s=0.009 reproduces the reference's Gazebo actuation-delay
-    adversity (see _loop_cfg)."""
+    adversity (see _loop_cfg).
+
+    ee_offset_x: hold the EE this far IN FRONT of its settled pose —
+    extended-arm trot-in-place, the fast repro of the traverse-wall
+    state (round-5: the ~0.3 m traverse falls came from a roll/pitch
+    instability of trotting at >=0.23 m arm extension, not from
+    kinematic reach, which is sub-mm out to 0.37 m)."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
-    loop = ControlLoop(model, info, cfg, _loop_cfg(control_freq, delay_s))
+    loop = ControlLoop(model, info, cfg,
+                       _loop_cfg(control_freq, delay_s)._replace(
+                           mrt_policy_lag=mrt_policy_lag), gains=gains)
     target = target_from_knots([0.0, duration + 5], [s, s])
     # Reference protocol: settle in STANCE first, capture the EE's own
     # settled pose as the hold target (an idealized target bakes in the
@@ -131,6 +140,7 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     rbd0 = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
     s = s.copy()
     s[30:37] = np.asarray(rbd0[48:55])
+    s[30] += ee_offset_x
     target = target_from_knots([float(carry.t), duration + 5], [s, s])
     pos_errs, ori_errs, safes = [], [], []
     plan_errs, exec_errs = [], []
@@ -138,6 +148,15 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     cycles = int(duration * cfg.mpc.mpc_frequency)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
     for _ in range(cycles // chunk):
+        if ee_offset_x:
+            # extended-arm repro: re-anchor the BASE target at the
+            # current base each chunk (as the traverse's cmd_vel
+            # publisher does) so the optimizer cannot close the
+            # extension by walking forward
+            s_t = s.copy()
+            s_t[6:8] = np.asarray(carry.plant.q[:2])
+            target = target_from_knots(
+                [float(carry.t), duration + 5], [s_t, s_t])
         carry, m = loop.run(carry, target, ms, num_cycles=chunk, log=log)
         if float(carry.t) > transient:
             pos_errs.append(float(np.asarray(m.ee_pos_err)[-1]))
@@ -146,13 +165,20 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
             plan_errs.append(pe)
             exec_errs.append(xe)
         safes.append(bool(np.asarray(m.safe)[-1]))
+    arrays = log.as_arrays()
+    tarr = arrays["t"] - arrays["t"][0]
+    mlate = tarr > transient
+    rolls = np.degrees(arrays["base_pose"][mlate, 5]) if mlate.any() else \
+        np.zeros(1)
     return {
-        "experiment": f"standing_ee_hold[{gait}]",
+        "experiment": f"standing_ee_hold[{gait}]"
+                      + (f"[ext{ee_offset_x:g}]" if ee_offset_x else ""),
         "ee_pos_err_max_mm": 1e3 * float(np.max(pos_errs)),
         "ee_pos_err_mean_mm": 1e3 * float(np.mean(pos_errs)),
         "ee_ori_err_max_deg": float(np.degrees(np.max(ori_errs))),
         "ee_plan_err_max_mm": 1e3 * float(np.max(plan_errs)),
         "ee_exec_err_max_mm": 1e3 * float(np.max(exec_errs)),
+        "roll_pp_deg": float(rolls.max() - rolls.min()),
         "safe": all(safes),
         "reference_target_mm": 3.5,
         "reference_target_deg": 2.6,

@@ -96,7 +96,11 @@ def _kernel_basis(Az, rel_tol=1e-5):
     return K[:n, :n].astype(Az.dtype)
 
 
-def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 10):
+DEFAULT_QP_ITERS = 10   # module-level so closed-loop A/B sweeps can
+# patch it without threading a parameter through every call site
+
+
+def hoqp_solve(tasks: Sequence[Task], qp_iters: int = None):
     """Solve the lexicographic cascade; tasks ordered highest priority
     first. Returns the optimal decision vector x (36,).
 
@@ -111,6 +115,8 @@ def hoqp_solve(tasks: Sequence[Task], qp_iters: int = 10):
     batched-fleet cost."""
     nx = NUM_DECISION_VARS
     dtype = tasks[0].A.dtype
+    if qp_iters is None:
+        qp_iters = DEFAULT_QP_ITERS
     x = jnp.zeros(nx, dtype=dtype)
     Z = jnp.eye(nx, dtype=dtype)
     prev: List = []    # [(D, f, v_opt)] accumulated inequality levels

@@ -74,6 +74,12 @@ def run_traverse(spec):
     taper = float(kv.get("taper", 0.0))
     tuned = kv.get("tuned", "1") not in ("0", "false")
     gait = kv.get("gait", "trot")
+    kp_ang = float(kv.get("kpang", 0.0))   # base-angular WBC gain
+    kd_ang = float(kv.get("kdang", 0.0))   # override (dyn-reconfigure
+    # parity: the reference live-tunes exactly these, wbcWigeht.cfg)
+    if "qpiters" in kv:                    # closed-loop A/B of the WBC
+        from qm_control_tpu.wbc import hoqp
+        hoqp.DEFAULT_QP_ITERS = int(kv["qpiters"])
     orig = em._loop_cfg
 
     def lagged(control_freq=1000.0, delay_s=0.0):
@@ -81,6 +87,13 @@ def run_traverse(spec):
     em._loop_cfg = lagged
     try:
         cfg = tuned_cfg(mu_o=mu_o) if tuned else None
+        if kp_ang or kd_ang:
+            cfg = cfg or em._default_cfg()
+            wbc = cfg.wbc
+            cfg = cfg.with_(wbc=dataclasses.replace(
+                wbc,
+                kp_base_angular=kp_ang or wbc.kp_base_angular,
+                kd_base_angular=kd_ang or wbc.kd_base_angular))
         r = E.traverse_ee_hold(cfg=cfg, gait=gait, speed=speed,
                                max_time=max_time, delay_s=delay,
                                cmd_ramp_s=ramp, taper_dist=taper)
@@ -89,6 +102,8 @@ def run_traverse(spec):
     prof = (f"mu12000/{mu_o:g}" if tuned else "reference task.info weights")
     r["profile"] = (f"{prof} mrt_lag{lag} cmd {speed} ramp {ramp:g}"
                     + (f" taper{taper:g}" if taper else "")
+                    + (f" kpang{kp_ang:g}" if kp_ang else "")
+                    + (f" kdang{kd_ang:g}" if kd_ang else "")
                     + (f" delay{delay * 1e3:g}ms(comp)" if delay else ""))
     if "note" in kv:
         r["note"] = kv["note"]
@@ -110,15 +125,17 @@ def run_tracking(spec):
     lead = float(kv.get("lead", 0.0))
     tuned = kv.get("tuned", "0") not in ("0", "false")
     preview = kv.get("preview", "1") not in ("0", "false")
+    lag = int(kv.get("lag", 1))
     kwargs = {}
     if lead:
         kwargs["target_lead_s"] = lead
     r = E.ee_tracking(cfg=tuned_cfg() if tuned else None, period=period,
-                      preview=preview, **kwargs)
+                      preview=preview, mrt_policy_lag=lag, **kwargs)
     r["period_s"] = period
     r["peak_target_speed_ms"] = round(2 * 3.14159 * 0.1 / period * 1.118, 3)
     r["preview"] = preview
     r["target_lead_s"] = lead
+    r["mrt_policy_lag"] = lag
     if tuned:
         r["note"] = "tuned mu12000/600"
     if "note" in kv:
@@ -126,11 +143,51 @@ def run_tracking(spec):
     emit(r)
 
 
+def run_ext(spec):
+    """Extended-arm trot-in-place (the traverse-wall fast repro)."""
+    from qm_control_tpu import experiments as E
+    kv = _parse_spec(spec)
+    d = float(kv.get("d", 0.25))
+    lag = int(kv.get("lag", 1))
+    dur = float(kv.get("dur", 6.0))
+    kp_ang = float(kv.get("kpang", 0.0))
+    kd_ang = float(kv.get("kdang", 0.0))
+    gains = None
+    if kp_ang or kd_ang:
+        from qm_control_tpu.experiments import _default_cfg
+        wbc = _default_cfg().wbc
+        gains = dataclasses.replace(
+            wbc, kp_base_angular=kp_ang or wbc.kp_base_angular,
+            kd_base_angular=kd_ang or wbc.kd_base_angular)
+    tuned = kv.get("tuned", "0") not in ("0", "false")
+    cfg = tuned_cfg(mu_o=float(kv.get("mu_o", 600.0))) if tuned else None
+    r = E.standing_ee_hold(cfg=cfg, gait=kv.get("gait", "trot"),
+                           duration=dur, ee_offset_x=d,
+                           mrt_policy_lag=lag, gains=gains)
+    r["profile"] = (f"ext{d:g} lag{lag} dur{dur:g}"
+                    + (" tuned" if tuned else " raw")
+                    + (f" kpang{kp_ang:g}" if kp_ang else "")
+                    + (f" kdang{kd_ang:g}" if kd_ang else ""))
+    if "note" in kv:
+        r["note"] = kv["note"]
+    if "save" in kv:
+        from qm_control_tpu.utils.viz import export_trajectory
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(root, "docs", "runs")
+        os.makedirs(dst, exist_ok=True)
+        npz = os.path.join(dst, kv["save"] + ".npz")
+        export_trajectory(r["log"], npz)
+        r["log_npz"] = os.path.relpath(npz, root)
+    emit(r)
+
+
 def main():
     from qm_control_tpu import experiments as E
     args = sys.argv[1:] or ["standing"]
     for arg in args:
-        if arg.startswith("traverse"):
+        if arg.startswith("ext"):
+            run_ext(arg.partition(":")[2])
+        elif arg.startswith("traverse"):
             run_traverse(arg.partition(":")[2])
         elif arg.startswith("tracking"):
             run_tracking(arg.partition(":")[2])

@@ -29,11 +29,11 @@ run_tier() {
 }
 
 case "$tier" in
-  quick) run_tier quick 300 -m "not slow and not heavy" ;;
+  quick) run_tier quick 480 -m "not slow and not heavy" ;;
   heavy) run_tier heavy 600 -m "heavy" ;;
   slow)  run_tier slow 1500 -m "slow" ;;
   all)
-    run_tier quick 300 -m "not slow and not heavy"
+    run_tier quick 480 -m "not slow and not heavy"
     run_tier heavy 600 -m "heavy"
     run_tier slow 1500 -m "slow"
     ;;

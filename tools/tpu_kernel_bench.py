@@ -152,10 +152,13 @@ def main():
                     jnp.tile(t.D[None], (B, 1, 1)),
                     jnp.tile(t.f[None], (B, 1)))
     bst = tuple(batch_ops(t) for t in st)
+    from qm_control_tpu.kernels.cascade_exact import cascade_exact
     for name, solver in (("fused", lambda a, b, c: HF.fused_hoqp(a, b, c)),
                          ("xla", lambda a, b, c: hoqp_solve([a, b, c])),
                          ("xla_math",
-                          lambda a, b, c: HF.fused_hoqp_reference(a, b, c))):
+                          lambda a, b, c: HF.fused_hoqp_reference(a, b, c)),
+                         ("exact",
+                          lambda a, b, c: cascade_exact(a, b, c))):
         f = jax.jit(jax.vmap(solver))
         dt = _time(f, *bst)
         log(f"batched B={B} {name}: {dt*1e3:.2f} ms -> "
