@@ -132,7 +132,8 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     # then start the gait.
     gs = GaitSchedule(GAIT_LIBRARY["stance"])
     gs.insert_template(GAIT_LIBRARY[gait], 0.5)
-    ms = gs.mode_schedule(0.0, duration + 5)
+    horizon_w = cfg.mpc.time_horizon + 2.0
+    ms = gs.mode_schedule(0.0, horizon_w)
     carry = loop.init_carry(q0)
     carry = loop.warmup(carry, target, ms, num_solves=warmup)
     carry, _ = loop.run(carry, target, ms,
@@ -157,6 +158,9 @@ def standing_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
             s_t[6:8] = np.asarray(carry.plant.q[:2])
             target = target_from_knots(
                 [float(carry.t), duration + 5], [s_t, s_t])
+        # receding mode-schedule window (see traverse_ee_hold docstring)
+        ms = gs.mode_schedule(max(0.0, float(carry.t) - 0.5),
+                              float(carry.t) + horizon_w)
         carry, m = loop.run(carry, target, ms, num_cycles=chunk, log=log)
         if float(carry.t) > transient:
             pos_errs.append(float(np.asarray(m.ee_pos_err)[-1]))
@@ -193,7 +197,8 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
                      control_freq: float = 1000.0,
                      delay_s: float = 0.0,
                      cmd_ramp_s: float = 0.5,
-                     taper_dist: float = 0.0) -> dict:
+                     taper_dist: float = 0.0,
+                     stop_gait: str = "") -> dict:
     """Config #2: cmd_vel traverse with the EE pose held fixed in world
     (the README 30 cm EE-stability experiment). Targets are re-issued
     from the current observation each MPC chunk, like the reference's
@@ -207,12 +212,18 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
 
     taper_dist: operator-realistic approach — the stick eases off over
     the last `taper_dist` meters before the goal (floored at 15 % so the
-    base still arrives). Without it, a fast command carries full speed
-    into the ~0.31 m arm-reach wall and the overshoot transient (round-5
-    wave-1: 0.312 m reached, then a fall) dominates the error maximum.
+    base still arrives).
+    stop_gait: gait the operator switches to on arrival (the reference's
+    gamepad gait switching, GaitJoyPublisher.cpp:41-49 — e.g. "stance"
+    to stop walking at the goal). Empty = keep the walking gait.
     Error metrics are split: *_walk covers the traverse up to the goal
     (the reference's plotted window), *_after covers the post-arrival
-    hold; the headline ee_pos/ori gates cover the WHOLE run."""
+    hold; the headline ee_pos/ori gates cover the WHOLE run.
+
+    The mode schedule is queried as a RECEDING window every chunk (the
+    reference re-queries its GaitSchedule per solve): one [0, T]
+    schedule silently truncated at MAX_EVENTS=47 events and the frozen
+    tail mode felled every >16.45 s trot run of rounds 4-5."""
     cfg = cfg or _default_cfg()
     model, info, q0, s = _standing_setup(cfg)
     loop = ControlLoop(model, info, cfg, _loop_cfg(control_freq, delay_s))
@@ -223,7 +234,8 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
     # prepares, the EE pose is captured at rest, THEN locomotion starts
     gs = GaitSchedule(GAIT_LIBRARY["stance"])
     gs.insert_template(GAIT_LIBRARY[gait], 0.5)
-    ms = gs.mode_schedule(0.0, max_time + 5)
+    horizon = cfg.mpc.time_horizon
+    ms = gs.mode_schedule(0.0, horizon + 2.0)
     carry = loop.init_carry(q0)
     carry = loop.warmup(carry, target, ms, num_solves=warmup)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
@@ -250,6 +262,11 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
         if phase == "walk" and abs(x_now - x_start) >= distance:
             phase = "stop"
             reached = True
+            if stop_gait:
+                # operator stops walking at the goal (gamepad gait
+                # switch; reference GaitJoyPublisher combos)
+                gs.insert_template(GAIT_LIBRARY[stop_gait],
+                                   float(carry.t) + 0.3)
         if phase == "walk":
             # gamepad-realistic command ramp: a human stick reaches the
             # commanded deflection over ~0.5 s, not as a step (a step
@@ -265,6 +282,9 @@ def traverse_ee_hold(cfg: Optional[QmConfig] = None, gait: str = "trot",
         hold = ee_state.copy() if ee_hold is None else ee_hold.copy()
         target, _ = cmd_vel_to_target(v_cmd, hold, float(carry.t),
                                       x_obs, ee_state, cfg.reference)
+        # receding mode-schedule window (see docstring)
+        ms = gs.mode_schedule(max(0.0, float(carry.t) - 0.5),
+                              float(carry.t) + horizon + 1.0)
         carry, m = loop.run(carry, target, ms, num_cycles=chunk, log=log)
         if float(carry.t) > 0.6:
             w = worst["after" if reached else "walk"]

@@ -120,9 +120,26 @@ class GaitSchedule:
             self.modes.pop(0)
 
     def mode_schedule(self, lo: float, hi: float) -> ModeSchedule:
-        """Padded device arrays covering [lo, hi] (extends by tiling)."""
+        """Padded device arrays covering [lo, hi] (extends by tiling).
+
+        The padding is MAX_EVENTS (47) events; callers needing a long
+        window must use a RECEDING window (re-call with lo advancing, as
+        the reference's GaitSchedule is queried per solve) rather than
+        one [0, T] schedule. Round-5 lesson: a one-shot schedule that
+        needs more than MAX_EVENTS used to TRUNCATE SILENTLY — the mode
+        froze at the 48th entry (one diagonal pair in stance forever)
+        and every closed-loop traverse fell at exactly t ~= 16.45 s
+        (47 trot events x 0.35 s), which round 4/5 chased for days as a
+        "~0.3 m stability wall". Now it raises."""
         self._tile_until(hi + self.template.duration)
         self._prune_before(lo - 1.0)
+        if len(self.event_times) > MAX_EVENTS:
+            needed_hi = self.event_times[MAX_EVENTS - 1]
+            raise ValueError(
+                f"mode schedule [{lo:.2f}, {hi:.2f}] needs "
+                f"{len(self.event_times)} events > MAX_EVENTS="
+                f"{MAX_EVENTS} (coverage ends at t={needed_hi:.2f}); "
+                "query a receding window instead of one long schedule")
         k = min(len(self.event_times), MAX_EVENTS)
         return mode_schedule_from_lists(self.event_times[:k],
                                         self.modes[:k + 1])

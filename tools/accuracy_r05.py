@@ -44,11 +44,15 @@ def emit(entry):
     print(json.dumps(entry, default=str), flush=True)
 
 
-def tuned_cfg(mu_p=12000.0, mu_o=600.0):
+def tuned_cfg(mu_p=12000.0, mu_o=600.0, qbase_xy: float = 1.0):
     from qm_control_tpu.experiments import _default_cfg
     base = _default_cfg()
+    q = list(base.cost.q_diag)
+    q[6] *= qbase_xy
+    q[7] *= qbase_xy
     return base.with_(cost=dataclasses.replace(
-        base.cost, ee_mu_position=mu_p, ee_mu_orientation=mu_o,
+        base.cost, q_diag=tuple(q),
+        ee_mu_position=mu_p, ee_mu_orientation=mu_o,
         final_ee_mu_position=mu_p, final_ee_mu_orientation=mu_o))
 
 
@@ -80,13 +84,14 @@ def run_traverse(spec):
     if "qpiters" in kv:                    # closed-loop A/B of the WBC
         from qm_control_tpu.wbc import hoqp
         hoqp.DEFAULT_QP_ITERS = int(kv["qpiters"])
+    qbase = float(kv.get("qbase", 1.0))
     orig = em._loop_cfg
 
     def lagged(control_freq=1000.0, delay_s=0.0):
         return orig(control_freq, delay_s)._replace(mrt_policy_lag=lag)
     em._loop_cfg = lagged
     try:
-        cfg = tuned_cfg(mu_o=mu_o) if tuned else None
+        cfg = tuned_cfg(mu_o=mu_o, qbase_xy=qbase) if tuned else None
         if kp_ang or kd_ang:
             cfg = cfg or em._default_cfg()
             wbc = cfg.wbc
@@ -96,12 +101,18 @@ def run_traverse(spec):
                 kd_base_angular=kd_ang or wbc.kd_base_angular))
         r = E.traverse_ee_hold(cfg=cfg, gait=gait, speed=speed,
                                max_time=max_time, delay_s=delay,
-                               cmd_ramp_s=ramp, taper_dist=taper)
+                               cmd_ramp_s=ramp, taper_dist=taper,
+                               stop_gait=kv.get("stop", ""))
     finally:
         em._loop_cfg = orig
     prof = (f"mu12000/{mu_o:g}" if tuned else "reference task.info weights")
+    if gait != "trot":
+        prof += f" {gait}"
+    if kv.get("stop"):
+        prof += f" stop->{kv['stop']}"
     r["profile"] = (f"{prof} mrt_lag{lag} cmd {speed} ramp {ramp:g}"
                     + (f" taper{taper:g}" if taper else "")
+                    + (f" qbase{qbase:g}" if qbase != 1.0 else "")
                     + (f" kpang{kp_ang:g}" if kp_ang else "")
                     + (f" kdang{kd_ang:g}" if kd_ang else "")
                     + (f" delay{delay * 1e3:g}ms(comp)" if delay else ""))
