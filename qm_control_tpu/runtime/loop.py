@@ -341,6 +341,57 @@ class ControlLoop:
             safe=jnp.asarray(True),
             policy=hold_policy)
 
+    def _build_escape(self):
+        model, info, cfg = self.model, self.info, self.cfg
+        ocp = make_ocp(model, info, cfg)
+        deep = SqpSettings(num_iterations=12)
+        N = cfg.mpc.num_nodes
+
+        def probe(carry, target, ms):
+            rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
+            x_obs = observation_from_rbd(model, info, rbd, carry.last_yaw)
+            w0 = C.weight_compensating_input(
+                info, jnp.ones(4)).astype(jnp.float32)
+            W0 = jnp.tile(w0[None], (N, 1))
+            X0 = jnp.tile(x_obs[None].astype(jnp.float32), (N + 1, 1))
+            z = jnp.asarray(0.0, dtype=jnp.float32)
+            cold = mpc_step(ocp, model, info, cfg, deep, carry.t, x_obs,
+                            target, ms, W0, X0, z, jnp.asarray(True))
+            warm = mpc_step(ocp, model, info, cfg, deep, carry.t, x_obs,
+                            target, ms, carry.W_warm, carry.X_warm, z,
+                            jnp.asarray(False))
+            return cold, warm
+
+        return jax.jit(probe)
+
+    def escape(self, carry: CycleCarry, target: TargetTrajectory,
+               ms: ModeSchedule, margin: float = 0.02):
+        """Basin-escape re-initialization (round-5 traverse-stall fix).
+
+        The warm-started real-time iteration can be captured in a
+        locally-optimal "stay" basin whose cost is strictly above the
+        walking optimum: from a quasi-static EE-held state, accelerating
+        requires a non-monotonic wind-up (the converged walk plan first
+        moves the base TOWARD the hold before accelerating away), so a
+        1-iteration solve warm-started from a stay plan never finds it
+        (measured: tools/diag_plan_horizon.py — converged cold solves
+        from the stalled state walk at 91 % of command inside one
+        horizon while the closed loop holds alpha=1 at the stay
+        fixpoint). Remedy, run at the target-refresh cadence (the
+        reference re-publishes targets and can cold-start its MPC the
+        same way, MPC_BASE coldStart_): solve BOTH deep-from-cold and
+        deep-from-warm on identical data; adopt the cold solution when
+        it beats warm by `margin`, else keep (the deepened) warm.
+
+        Returns (carry, escaped: bool).
+        """
+        if not hasattr(self, "_escape"):
+            self._escape = self._build_escape()
+        cold, warm = self._escape(carry, target, ms)
+        escaped = bool(float(cold.cost) < float(warm.cost) * (1.0 - margin))
+        best = cold if escaped else warm
+        return carry._replace(W_warm=best.W, X_warm=best.X), escaped
+
     def warmup(self, carry: CycleCarry, target: TargetTrajectory,
                ms: ModeSchedule, num_solves: int = 20) -> CycleCarry:
         """Converge the MPC warm start before releasing the control loop

@@ -30,7 +30,8 @@ def run_to_stall(t_stop=8.0, speed=-0.1):
     target = target_from_knots([0.0, 30.0], [s, s])
     gs = GaitSchedule(GAIT_LIBRARY["stance"])
     gs.insert_template(GAIT_LIBRARY["trot"], 0.5)
-    ms = gs.mode_schedule(0.0, 30.0)
+    horizon = cfg.mpc.time_horizon
+    ms = gs.mode_schedule(0.0, horizon + 2.0)
     carry = loop.init_carry(q0)
     carry = loop.warmup(carry, target, ms, num_solves=25)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
@@ -55,6 +56,8 @@ def run_to_stall(t_stop=8.0, speed=-0.1):
             hold = ee_state.copy()
         target, _ = cmd_vel_to_target(v_cmd, hold, float(carry.t),
                                       x_obs, ee_state, cfg.reference)
+        ms = gs.mode_schedule(max(0.0, float(carry.t) - 0.5),
+                              float(carry.t) + horizon + 1.0)
         carry, m = loop.run(carry, target, ms, num_cycles=chunk)
     return carry, ee_hold, x_start, model, info, cfg, ms
 

@@ -24,7 +24,7 @@ cfg = _default_cfg()
 model, info, q0, s = _standing_setup(cfg)
 carry, ee_hold, x_start = load_carry()
 gs = GaitSchedule(GAIT_LIBRARY["stance"]); gs.insert_template(GAIT_LIBRARY["trot"], 0.5)
-ms = gs.mode_schedule(0.0, 30.0)
+ms = gs.mode_schedule(max(0.0, float(carry.t) - 0.5), float(carry.t) + 3.0)  # receding window (MAX_EVENTS raise)
 ocp = make_ocp(model, info, cfg)
 rbd = rbd_state_from_plant(model, carry.plant.q, carry.plant.v)
 x_obs0 = observation_from_rbd(model, info, rbd, carry.last_yaw)

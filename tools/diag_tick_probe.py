@@ -71,7 +71,7 @@ def main():
     carry, ee_hold, x_start = load_carry()
     ms = GaitSchedule(GAIT_LIBRARY["stance"])
     ms.insert_template(GAIT_LIBRARY["trot"], 0.5)
-    ms = ms.mode_schedule(0.0, 30.0)
+    ms = ms.mode_schedule(max(0.0, float(carry.t) - 0.5), float(carry.t) + 3.0)  # receding window
 
     ocp = make_ocp(model, info, cfg)
     settings = SqpSettings(num_iterations=cfg.mpc.num_iterations)

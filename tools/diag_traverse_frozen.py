@@ -51,7 +51,7 @@ def main():
     target = target_from_knots([0.0, 30.0], [s, s])
     gs = GaitSchedule(GAIT_LIBRARY["stance"])
     gs.insert_template(GAIT_LIBRARY["trot"], 0.5)
-    ms = gs.mode_schedule(0.0, 30.0)
+    ms = gs.mode_schedule(0.0, cfg.mpc.time_horizon + 2.0)
     carry = loop.init_carry(q0)
     carry = loop.warmup(carry, target, ms, num_solves=25)
     chunk = max(1, int(0.25 * cfg.mpc.mpc_frequency))
@@ -77,6 +77,8 @@ def main():
             hold = ee_state.copy()
         target, _ = cmd_vel_to_target(v_cmd, hold, float(carry.t),
                                       x_obs, ee_state, cfg.reference)
+        ms = gs.mode_schedule(max(0.0, float(carry.t) - 0.5),
+                              float(carry.t) + cfg.mpc.time_horizon + 1.0)
         carry, m = loop.run(carry, target, ms, num_cycles=chunk)
     print(f"stalled at t={float(carry.t):.2f}, "
           f"x={float(carry.plant.q[0]) - x_start:+.4f}", flush=True)
